@@ -1,0 +1,17 @@
+"""Test environment: force CPU with 8 virtual devices so multi-chip sharding
+tests run without a pod (SURVEY.md §4.4).
+
+Note: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var,
+so the backend must be forced via jax.config after import.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
