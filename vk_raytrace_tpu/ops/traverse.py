@@ -47,23 +47,32 @@ class PackedScene(NamedTuple):
     """Traversal-ready packed arrays (built once per scene/BVH refit)."""
 
     nodes: jax.Array  # (2T-1, 8) f32: bmin(3) bmax(3) leftq skipq
-                      # leftq: bitcast int32; >=0 internal child id, <0 => leaf, tri = -leftq-1
-    tris: jax.Array   # (T, 16) f32: p0 p1 p2 (9), uv0 uv1 uv2 (6), meta = mat | flags<<28
+                      # leftq: integer VALUE stored as exact f32 (|v| < 2^24 —
+                      # TPU float lanes flush denormal/NaN bit patterns, so
+                      # bitcasting raw int32 bits through f32 corrupts them);
+                      # >= 0 internal child id, < 0 => leaf with tri = -leftq-1
+    tris: jax.Array   # (T, 16) f32: p0 p1 p2 (9), uv0 uv1 uv2 (6), meta = mat*4+flags
 
 
 class Hit(NamedTuple):
-    t: jax.Array    # (R,) f32, INF on miss
-    tri: jax.Array  # (R,) i32 original triangle id, -1 on miss
-    u: jax.Array    # (R,) f32 barycentric of vertex 1
-    v: jax.Array    # (R,) f32 barycentric of vertex 2
+    t: jax.Array      # (R,) f32, INF on miss
+    tri: jax.Array    # (R,) i32 original triangle id, -1 on miss
+    u: jax.Array      # (R,) f32 barycentric of vertex 1
+    v: jax.Array      # (R,) f32 barycentric of vertex 2
+    steps: jax.Array  # (R,) i32 visited-node count (heatmap/profiling; the
+                      # analog of the reference's shader-clock heatmap,
+                      # pathtrace.rgen:66-93)
 
 
 def _i2f(x: jax.Array) -> jax.Array:
-    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+    """Encode an int32 index as an exact f32 VALUE (not a bitcast: TPU float
+    datapaths flush denormals and canonicalize NaNs, which destroys raw bit
+    patterns). Exact for |v| < 2**24 => supports BVHs up to ~8M triangles."""
+    return x.astype(jnp.int32).astype(jnp.float32)
 
 
 def _f2i(x: jax.Array) -> jax.Array:
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
+    return x.astype(jnp.int32)
 
 
 def pack_scene(bvh: BVH, geom: Geometry) -> PackedScene:
@@ -86,7 +95,7 @@ def pack_scene(bvh: BVH, geom: Geometry) -> PackedScene:
     uv0 = geom.uv[idx[:, 0]]
     uv1 = geom.uv[idx[:, 1]]
     uv2 = geom.uv[idx[:, 2]]
-    meta = geom.tri_material | (geom.tri_flags << 28)
+    meta = geom.tri_material * 4 + geom.tri_flags  # exact below 2^24
     tris = jnp.concatenate(
         [p0, p1, p2, uv0, uv1, uv2, _i2f(meta)[:, None]],
         axis=1,
@@ -152,7 +161,7 @@ def _traverse(
         return jnp.any(node >= 0)
 
     def body(state):
-        node, t_best, tri_best, u_best, v_best, seed = state
+        node, t_best, tri_best, u_best, v_best, seed, steps = state
         active = node >= 0
         nc = jnp.maximum(node, 0)
 
@@ -174,8 +183,8 @@ def _traverse(
         trow = packed.tris[jnp.maximum(tri, 0)]     # (R, 16) one dense gather
         p0, p1, p2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
         meta = _f2i(trow[:, 15])
-        mat_id = meta & 0x0FFFFFFF
-        flags = (meta >> 28) & 0xF
+        mat_id = meta >> 2
+        flags = meta & 0x3
 
         e1 = p1 - p0
         e2 = p2 - p0
@@ -229,14 +238,16 @@ def _traverse(
             # Shadow rays terminate on first accepted hit.
             next_node = jnp.where(geo_hit, -1, next_node)
 
-        return (next_node, t_best, tri_best, u_best, v_best, seed)
+        steps = steps + active.astype(jnp.int32)
+        return (next_node, t_best, tri_best, u_best, v_best, seed, steps)
 
-    state = (node0, t_best, tri_best, u_best, v_best, seed)
-    node, t_best, tri_best, u_best, v_best, seed = jax.lax.while_loop(
+    steps0 = jnp.zeros((r,), jnp.int32)
+    state = (node0, t_best, tri_best, u_best, v_best, seed, steps0)
+    node, t_best, tri_best, u_best, v_best, seed, steps = jax.lax.while_loop(
         cond, body, state
     )
     t_out = jnp.where(tri_best >= 0, t_best, INF)
-    return Hit(t=t_out, tri=tri_best, u=u_best, v=v_best), seed
+    return Hit(t=t_out, tri=tri_best, u=u_best, v=v_best, steps=steps), seed
 
 
 def closest_hit(
@@ -325,4 +336,4 @@ def brute_force_closest(
         )
 
     t, tri, u, v = jax.vmap(one)(origin, direction)
-    return Hit(t=t, tri=tri, u=u, v=v)
+    return Hit(t=t, tri=tri, u=u, v=v, steps=jnp.zeros_like(tri))
