@@ -26,8 +26,20 @@ def generate_rays(
 ):
     """Primary rays for every pixel, row-major flat. Returns
     ``(origin (R,3), direction (R,3), seed')``."""
-    r = width * height
-    pix = jnp.arange(r, dtype=jnp.int32)
+    pix = jnp.arange(width * height, dtype=jnp.uint32)
+    return generate_rays_for_pixels(cam, width, height, pix, frame, seed)
+
+
+def generate_rays_for_pixels(
+    cam: Camera,
+    width: int,
+    height: int,
+    pix: jax.Array,       # (R,) u32 global flat pixel ids (row-major)
+    frame: jax.Array,
+    seed: jax.Array,
+):
+    """Primary rays for an explicit set of pixels — the entry point used by
+    tile-sharded rendering, where each chip owns a row chunk."""
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
 

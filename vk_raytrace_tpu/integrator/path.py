@@ -75,6 +75,7 @@ class PathState(NamedTuple):
     alive: jax.Array        # (R,) bool
     debug: jax.Array        # (R, 3) debug-mode output (first hit)
     steps: jax.Array        # (R,) i32 accumulated traversal steps (heatmap)
+    rays: jax.Array         # (R,) i32 rays traced per lane (primary+bounce+shadow)
 
 
 def _eval_bsdf(cfg: RenderConfig, state, v, n, l):
@@ -141,6 +142,7 @@ def trace_paths(
         alive=jnp.ones((r,), bool),
         debug=zero3,
         steps=jnp.zeros((r,), jnp.int32),
+        rays=jnp.zeros((r,), jnp.int32),
     )
 
     alpha_ctx = (
@@ -162,6 +164,7 @@ def trace_paths(
             active=st.alive,
         )
         steps = st.steps + hit.steps
+        rays = st.rays + st.alive.astype(jnp.int32)
 
         # ---- Environment miss (pathtrace.glsl:203-228) -------------------
         miss = st.alive & (hit.tri < 0)
@@ -284,6 +287,7 @@ def trace_paths(
         radiance = radiance + jnp.where(
             (visible & ~occluded)[..., None], nee, 0.0
         )
+        rays = rays + visible.astype(jnp.int32)
 
         # ---- Russian roulette termination (:334-338) ---------------------
         seed, u_rr = rng.rand(seed)
@@ -310,6 +314,7 @@ def trace_paths(
             alive=alive,
             debug=debug,
             steps=steps,
+            rays=rays,
         )
 
     # Python loop over static depth -> fully unrolled scan (each depth can

@@ -97,66 +97,65 @@ def _load_hdr_numpy(path: str) -> np.ndarray:
 # Alias table (device)
 # --------------------------------------------------------------------------
 
+_ALIAS_ROUNDS = 8
+
+
 def build_alias_table(importance: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Walker alias table from unnormalized weights ``(N,)``.
 
     Returns ``(q, alias, integral)`` with the same semantics as
     ``HdrSampling::buildAliasmap`` (hdr_sampling.cpp:107-176): ``q[i]`` is the
     acceptance ratio for texel i, ``alias[i]`` the fallback texel.
-    Fully parallel: one sort + prefix sums + searchsorted.
+
+    The sequential reference routes each below-average texel's deficit to the
+    current above-average texel, and — crucially — partially consumed larges
+    rejoin the queue and get aliases of their own (its ``s`` index catches up
+    with ``large``), which makes the table near-exact. We reproduce that with
+    a parallel *cascade*: each round routes all currently-unaliased q<1
+    texels into the cumulative-excess intervals of the q>=1 texels
+    (prefix sums + ``searchsorted``), decrements the consumed q, and repeats —
+    over-consumed larges become next round's smalls. Residual mass shrinks
+    geometrically; 8 rounds leaves TV distance at numerical-noise level.
     """
     n = importance.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
     total = jnp.sum(importance)
-    q0 = importance * (n / jnp.maximum(total, 1e-30))
+    q = importance * (n / jnp.maximum(total, 1e-30))
+    alias = idx
 
-    order = jnp.argsort(q0)              # ascending: smalls first
-    q_sorted = q0[order]
-    is_small = q_sorted < 1.0
-    n_small = jnp.sum(is_small.astype(jnp.int32))
+    for _ in range(_ALIAS_ROUNDS):
+        small = (q < 1.0) & (alias == idx)
+        large = q >= 1.0
+        any_pair = jnp.any(small) & jnp.any(large)
 
-    # Deficits of smalls (in ascending-q order) and excesses of larges
-    # (order of increasing q; the reference consumes larges from the end of
-    # its partition table, which is ascending-q as well).
-    deficit = jnp.where(is_small, 1.0 - q_sorted, 0.0)
-    cum_deficit = jnp.cumsum(deficit)    # D_i inclusive
+        deficit = jnp.where(small, 1.0 - q, 0.0)
+        d_before = jnp.cumsum(deficit) - deficit
 
-    excess = jnp.where(~is_small, q_sorted - 1.0, 0.0)
-    # Cumulative excess over larges only, scattered back to full positions.
-    cum_excess_all = jnp.cumsum(excess)
-    # For a small at sorted pos i, find the first large whose cumulative
-    # excess interval contains D_{i-1} (the deficit before assigning i).
-    d_before = cum_deficit - deficit
-    # Build compacted large arrays via sort on (is_small, position):
-    large_rank = jnp.cumsum((~is_small).astype(jnp.int32)) - 1  # rank among larges
-    n_large = jnp.maximum(jnp.sum((~is_small).astype(jnp.int32)), 1)
-    big = jnp.float32(3e38)
-    cum_excess_large = jnp.full((n,), big)
-    cum_excess_large = jnp.where(
-        ~is_small,
-        cum_excess_all,
-        big,
-    )
-    # Compact: sort cumulative excesses of larges to the front preserving order.
-    sort_key = jnp.where(~is_small, large_rank, n + 1)
-    perm = jnp.argsort(sort_key)
-    ce_compact = cum_excess_large[perm]          # first n_large entries valid
-    large_ids_compact = order[perm]              # original texel ids of larges
+        excess = jnp.where(large, q - 1.0, 0.0)
+        cum_excess = jnp.cumsum(excess)
+        # Compact larges to the front (stable by index), keep their cumulative
+        # excess boundaries for the interval search.
+        large_rank = jnp.cumsum(large.astype(jnp.int32)) - 1
+        n_large = jnp.maximum(jnp.sum(large.astype(jnp.int32)), 1)
+        sort_key = jnp.where(large, large_rank, n + 1)
+        perm = jnp.argsort(sort_key)
+        ce_compact = jnp.where(large, cum_excess, jnp.float32(3e38))[perm]
+        large_ids = idx[perm]
 
-    # side='right': a small whose d_before lands exactly on a boundary moves
-    # to the next large, matching the sequential `large++` advance.
-    j = jnp.searchsorted(ce_compact, d_before, side="right")
-    j = jnp.clip(j, 0, n_large - 1)
-    alias_sorted = large_ids_compact[j]
-    alias_sorted = jnp.where(is_small, alias_sorted, order)  # larges: identity
+        j = jnp.clip(
+            jnp.searchsorted(ce_compact, d_before, side="right"), 0, n_large - 1
+        )
+        target = large_ids[j]
+        new_alias = jnp.where(small & any_pair, target, alias)
+        routed = jax.ops.segment_sum(
+            jnp.where(small & any_pair, deficit, 0.0),
+            jnp.where(small & any_pair, target, n),  # n = drop bucket
+            num_segments=n + 1,
+        )[:n]
+        q = q - routed
+        alias = new_alias
 
-    # Final q of larges = q minus the total deficit routed to them
-    # (alias_sorted holds ORIGINAL texel ids, so segment_sum lands directly
-    # in original-id space).
-    routed = jax.ops.segment_sum(deficit, alias_sorted, num_segments=n)
-
-    alias = jnp.zeros((n,), jnp.int32).at[order].set(alias_sorted.astype(jnp.int32))
-    q_final = q0 - routed
-    return q_final.astype(jnp.float32), alias, total
+    return q.astype(jnp.float32), alias, total
 
 
 def build_environment(image: np.ndarray | jax.Array) -> Environment:

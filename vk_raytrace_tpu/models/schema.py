@@ -136,7 +136,7 @@ class TextureAtlas(NamedTuple):
     """All scene textures packed into one array (replaces the variable-count
     sampler array, scene.cpp:586-624). Per-texture placement + sampler info."""
 
-    data: jax.Array    # (H, W, 4) f32, linear placement (sRGB decode at sample time)
+    data: jax.Array    # (H, W, 4) u8 raw texel values (sRGB decode at shade time)
     x: jax.Array       # (N,) i32 atlas x offset
     y: jax.Array       # (N,) i32 atlas y offset
     width: jax.Array   # (N,) i32
@@ -392,7 +392,7 @@ def dummy_atlas() -> TextureAtlas:
     """1x1 white atlas used when a scene has no textures (the reference
     similarly substitutes dummy textures, scene.cpp:496-533)."""
     return TextureAtlas(
-        data=jnp.ones((8, 128, 4), jnp.float32),
+        data=jnp.full((8, 128, 4), 255, jnp.uint8),
         x=jnp.zeros((1,), jnp.int32),
         y=jnp.zeros((1,), jnp.int32),
         width=jnp.ones((1,), jnp.int32),

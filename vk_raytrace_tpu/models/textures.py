@@ -1,0 +1,98 @@
+"""Texture atlas packing.
+
+Replaces the reference's variable-count texture descriptor array
+(``Scene::createTextureImages``/``createDescriptorSet``, scene.cpp:447-624)
+with one uint8 atlas + placement table — the static-shape representation XLA
+needs (see ``ops/texture.py`` for sampling).
+
+Packing is shelf-based (textures sorted by height), which is within ~15% of
+optimal for typical glTF texture sets and trivially deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.texture import WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT
+from .schema import TextureAtlas
+
+# glTF sampler wrap enums
+_GL_WRAPS = {
+    10497: WRAP_REPEAT,
+    33071: WRAP_CLAMP,
+    33648: WRAP_MIRROR,
+}
+
+
+class AtlasBuilder:
+    def __init__(self, max_dim: int = 8192):
+        self._images: list[np.ndarray] = []
+        self._wraps: list[tuple[int, int]] = []
+        self.max_dim = max_dim
+
+    def add(self, image: Optional[np.ndarray], sampler: dict) -> int:
+        """Register an (H, W, 4) uint8 image + glTF sampler; returns its
+        atlas slot id. ``None`` becomes a 1x1 white dummy (the reference's
+        missing-image fallback, scene.cpp:496-533)."""
+        if image is None:
+            image = np.full((1, 1, 4), 255, np.uint8)
+        if image.ndim == 2:
+            image = np.stack([image] * 3 + [np.full_like(image, 255)], axis=-1)
+        if image.shape[-1] == 3:
+            image = np.concatenate(
+                [image, np.full(image.shape[:2] + (1,), 255, np.uint8)], axis=-1
+            )
+        ws = _GL_WRAPS.get(sampler.get("wrapS", 10497), WRAP_REPEAT)
+        wt = _GL_WRAPS.get(sampler.get("wrapT", 10497), WRAP_REPEAT)
+        self._images.append(np.ascontiguousarray(image, np.uint8))
+        self._wraps.append((ws, wt))
+        return len(self._images) - 1
+
+    def build(self) -> TextureAtlas:
+        assert self._images, "no textures added"
+        n = len(self._images)
+        order = sorted(range(n), key=lambda i: -self._images[i].shape[0])
+        atlas_w = min(
+            self.max_dim,
+            max(
+                1 << int(np.ceil(np.log2(max(im.shape[1] for im in self._images)))),
+                256,
+            ),
+        )
+
+        xs = np.zeros(n, np.int64)
+        ys = np.zeros(n, np.int64)
+        shelf_y = 0
+        shelf_h = 0
+        cur_x = 0
+        for i in order:
+            h, w = self._images[i].shape[:2]
+            assert w <= atlas_w, f"texture {i} wider than atlas ({w} > {atlas_w})"
+            if cur_x + w > atlas_w:
+                shelf_y += shelf_h
+                cur_x = 0
+                shelf_h = 0
+            xs[i], ys[i] = cur_x, shelf_y
+            cur_x += w
+            shelf_h = max(shelf_h, h)
+        atlas_h = shelf_y + shelf_h
+        # Pad to a lane-friendly multiple
+        atlas_h = int(np.ceil(atlas_h / 8)) * 8
+
+        data = np.zeros((atlas_h, atlas_w, 4), np.uint8)
+        for i, im in enumerate(self._images):
+            h, w = im.shape[:2]
+            data[ys[i] : ys[i] + h, xs[i] : xs[i] + w] = im
+
+        return TextureAtlas(
+            data=jnp.asarray(data),
+            x=jnp.asarray(xs, jnp.int32),
+            y=jnp.asarray(ys, jnp.int32),
+            width=jnp.asarray([im.shape[1] for im in self._images], jnp.int32),
+            height=jnp.asarray([im.shape[0] for im in self._images], jnp.int32),
+            wrap_s=jnp.asarray([w[0] for w in self._wraps], jnp.int32),
+            wrap_t=jnp.asarray([w[1] for w in self._wraps], jnp.int32),
+        )

@@ -37,6 +37,13 @@ _1_PI = 1.0 / jnp.pi
 _1_2PI = 1.0 / (2.0 * jnp.pi)
 
 
+def _sdiv(num, den, eps=1e-12):
+    """Sign-preserving safe division (GLSL just divides; we only guard the
+    magnitude so negative denominators keep their sign semantics)."""
+    safe = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+    return num / safe
+
+
 def _schlick_weight(u):
     m = jnp.clip(1.0 - u, 0.0, 1.0)
     m2 = m * m
@@ -54,10 +61,10 @@ def _dielectric_fresnel(cos_i, eta):
 
 
 def _gtr1(ndoth, a):
-    a_c = jnp.clip(a, 1e-4, None)
+    a_c = jnp.clip(a, 1e-4, 0.9999)
     a2 = a_c * a_c
     t = 1.0 + (a2 - 1.0) * ndoth * ndoth
-    val = (a2 - 1.0) / jnp.maximum(PI * jnp.log(a2) * t, 1e-12)
+    val = _sdiv(a2 - 1.0, PI * jnp.log(a2) * t)
     return jnp.where(a >= 1.0, _1_PI, val)
 
 
@@ -110,7 +117,7 @@ def _eval_dielectric_reflection(state, v, n, l, h):
     valid = dot(n, l) > 0.0
     f = _dielectric_fresnel(dot(v, h), state.eta)
     d = _gtr2(dot(n, h), state.mat.roughness)
-    pdf = d * dot(n, h) * f / jnp.maximum(4.0 * jnp.abs(dot(v, h)), 1e-12)
+    pdf = _sdiv(d * dot(n, h) * f, 4.0 * dot(v, h))
     g = _smith_g(jnp.abs(dot(n, l)), state.mat.roughness) * _smith_g(
         jnp.abs(dot(n, v)), state.mat.roughness
     )
@@ -144,7 +151,7 @@ def _eval_specular(state, cspec0, v, n, l, h):
     t, b = state.tangent, state.bitangent
     ax, ay = state.mat.ax, state.mat.ay
     d = _gtr2_aniso(dot(n, h), dot(h, t), dot(h, b), ax, ay)
-    pdf = d * dot(n, h) / jnp.maximum(4.0 * jnp.abs(dot(v, h)), 1e-12)
+    pdf = _sdiv(d * dot(n, h), 4.0 * dot(v, h))
     fh = _schlick_weight(dot(l, h))
     f = mix(cspec0, jnp.ones_like(cspec0), fh[..., None])
     g = _smith_g_aniso(dot(n, l), dot(l, t), dot(l, b), ax, ay)
@@ -157,7 +164,7 @@ def _eval_clearcoat(state, v, n, l, h):
     """(pbr_disney.glsl:368-380)"""
     valid = dot(n, l) > 0.0
     d = _gtr1(dot(n, h), state.mat.clearcoat_roughness)
-    pdf = d * dot(n, h) / jnp.maximum(4.0 * jnp.abs(dot(v, h)), 1e-12)
+    pdf = _sdiv(d * dot(n, h), 4.0 * dot(v, h))
     fh = _schlick_weight(dot(l, h))
     f = mix(jnp.float32(0.04), jnp.float32(1.0), fh)
     g = _smith_g(dot(n, l), jnp.float32(0.25)) * _smith_g(dot(n, v), jnp.float32(0.25))

@@ -29,6 +29,12 @@ M_PI = jnp.pi
 _1_PI = 1.0 / jnp.pi
 
 
+def _sdiv(num, den, eps=1e-9):
+    """Sign-preserving safe division (see bsdf_disney._sdiv)."""
+    safe = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+    return num / safe
+
+
 def _f_schlick(f0, f90, vdoth):
     return f0 + (f90 - f0) * jnp.power(jnp.clip(1.0 - vdoth, 0.0, 1.0), 5.0)
 
@@ -114,7 +120,7 @@ def _eval_specular(state: SurfState, f0, f90, v, n, l, h):
     at = jnp.maximum(state.mat.roughness * (1.0 + aniso), 0.001)
     ab = jnp.maximum(state.mat.roughness * (1.0 - aniso), 0.001)
     d_a = _d_ggx_aniso(ndoth_u, tdoth, bdoth, at, ab)
-    pdf_a = d_a / jnp.maximum(4.0 * ldoth_u, 1e-9)
+    pdf_a = _sdiv(d_a, 4.0 * ldoth_u)
     # BRDF_specularAnisotropicGGX (pbr_gltf.glsl:151-176) uses Kulla-Conty at/ab
     at2 = jnp.maximum(state.mat.roughness * (1.0 + aniso), 0.00001)
     ab2 = jnp.maximum(state.mat.roughness * (1.0 - aniso), 0.00001)

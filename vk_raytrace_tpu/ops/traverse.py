@@ -41,6 +41,8 @@ from .texture import sample_atlas
 
 INF = jnp.float32(1e32)
 _EPS_DET = jnp.float32(1e-12)
+# Traversal steps executed per while-loop condition check (see _traverse).
+_CHUNK_STEPS = 64
 
 
 class PackedScene(NamedTuple):
@@ -156,6 +158,10 @@ def _traverse(
 
     with_alpha = alpha_ctx is not None
 
+    # The data-dependent while_loop condition is evaluated once per
+    # _CHUNK traversal steps (an inner fixed-trip scan): per-iteration
+    # loop/cond overhead is substantial on TPU relative to the ~0.1 ms body,
+    # and nearly all rays finish within a few chunks anyway.
     def cond(state):
         node = state[0]
         return jnp.any(node >= 0)
@@ -241,10 +247,17 @@ def _traverse(
         steps = steps + active.astype(jnp.int32)
         return (next_node, t_best, tri_best, u_best, v_best, seed, steps)
 
+    def chunk(state):
+        def sbody(s, _):
+            return body(s), None
+
+        state, _ = jax.lax.scan(sbody, state, None, length=_CHUNK_STEPS)
+        return state
+
     steps0 = jnp.zeros((r,), jnp.int32)
     state = (node0, t_best, tri_best, u_best, v_best, seed, steps0)
     node, t_best, tri_best, u_best, v_best, seed, steps = jax.lax.while_loop(
-        cond, body, state
+        cond, chunk, state
     )
     t_out = jnp.where(tri_best >= 0, t_best, INF)
     return Hit(t=t_out, tri=tri_best, u=u_best, v=v_best, steps=steps), seed

@@ -79,10 +79,7 @@ def scene_has_alpha(scene: SceneData) -> bool:
     return bool(np.any(np.asarray(scene.geometry.tri_flags) & 2))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "has_alpha"), donate_argnames=("accum",)
-)
-def render_frame(
+def render_frame_impl(
     scene: SceneData,
     packed: PackedScene,
     cfg: RenderConfig,
@@ -106,6 +103,11 @@ def render_frame(
     new = (total / cfg.max_samples).reshape(h, w, 3)
     a = 1.0 / (frame.astype(jnp.float32) + 1.0)
     return accum + (new - accum) * a
+
+
+render_frame = functools.partial(
+    jax.jit, static_argnames=("cfg", "has_alpha"), donate_argnames=("accum",)
+)(render_frame_impl)
 
 
 class Renderer:
