@@ -29,7 +29,7 @@ def bench_scene(scene, cfg, has_alpha, warmup=1, iters=4):
     from vk_raytrace_tpu.integrator.camera import generate_rays
     from vk_raytrace_tpu.integrator.path import sample_pixels
     from vk_raytrace_tpu.ops import rng
-    from vk_raytrace_tpu.ops.traverse import pack_scene
+    from vk_raytrace_tpu.render import pack_scene
 
     packed = pack_scene(scene.bvh, scene.geometry)
     w, h = cfg.width, cfg.height

@@ -47,6 +47,7 @@ from ..models.schema import (
 )
 from ..ops import rng
 from ..ops import traverse
+from ..ops import traverse_wide
 from ..ops.bsdf_disney import disney_eval, disney_sample
 from ..ops.bsdf_gltf import pbr_eval, pbr_sample
 from ..ops.env import env_radiance, env_sample
@@ -58,7 +59,8 @@ from ..ops.math import (
     power_heuristic,
     temperature,
 )
-from ..ops.traverse import AlphaCtx, PackedScene
+from ..ops.traverse import AlphaCtx
+from ..ops.bvh8 import WideScene
 from .shade import get_shade_state, resolve_material
 
 
@@ -118,7 +120,7 @@ def _debug_info(cfg: RenderConfig, state) -> jax.Array:
 
 def trace_paths(
     scene: SceneData,
-    packed: PackedScene,
+    packed: WideScene,
     cfg: RenderConfig,
     origin: jax.Array,
     direction: jax.Array,
@@ -155,8 +157,9 @@ def trace_paths(
     want_first_hit_debug = DEBUG_NONE < cfg.debug_mode < DEBUG_RADIANCE
 
     def bounce(st: PathState, depth: int) -> PathState:
-        hit, seed = traverse.closest_hit(
+        hit, seed = traverse_wide.closest_hit_wide(
             packed,
+            scene.geometry.tri_material,
             st.origin,
             st.direction,
             seed=st.seed,
@@ -275,8 +278,9 @@ def trace_paths(
         new_dir = jnp.where(alive[..., None], l_b, st.direction)
 
         # ---- Deferred shadow ray (:320-331) ------------------------------
-        occluded, seed = traverse.any_hit(
+        occluded, seed = traverse_wide.any_hit_wide(
             packed,
+            scene.geometry.tri_material,
             new_origin,
             light_dir,
             light_dist,
@@ -326,7 +330,7 @@ def trace_paths(
 
 def sample_pixels(
     scene: SceneData,
-    packed: PackedScene,
+    packed: WideScene,
     cfg: RenderConfig,
     origin: jax.Array,
     direction: jax.Array,

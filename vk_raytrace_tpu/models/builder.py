@@ -12,18 +12,19 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import math as vmath
+from .. import runtime
 from .schema import ALPHA_OPAQUE, Geometry, Materials
 
 
 def _oct_encode_np(v: np.ndarray) -> np.ndarray:
-    """Host-side octahedral encode (compress.glsl:111-139 C++ shim analog)."""
-    return np.asarray(vmath.oct_encode(jnp.asarray(v, jnp.float32)))
+    """Host-side octahedral encode — native C++ batch kernel with a JAX
+    fallback (the reference compresses vertices in its C++ scene build,
+    scene.cpp:219-242 / compress.glsl C++ shims)."""
+    return runtime.oct_encode(np.asarray(v, np.float32))
 
 
 def _pack_rgba8(c: np.ndarray) -> np.ndarray:
-    c8 = np.round(np.clip(c, 0.0, 1.0) * 255.0).astype(np.uint32)
-    return c8[:, 0] | (c8[:, 1] << 8) | (c8[:, 2] << 16) | (c8[:, 3] << 24)
+    return runtime.pack_rgba8(np.asarray(c, np.float32))
 
 
 class GeometryBuilder:
@@ -132,18 +133,7 @@ class GeometryBuilder:
 def _smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals for meshes without them
     (tiny_gltf/nvh::GltfScene does the same during import)."""
-    n = np.zeros_like(positions)
-    p0 = positions[indices[:, 0]]
-    p1 = positions[indices[:, 1]]
-    p2 = positions[indices[:, 2]]
-    fn = np.cross(p1 - p0, p2 - p0)
-    for k in range(3):
-        np.add.at(n, indices[:, k], fn)
-    ln = np.linalg.norm(n, axis=1, keepdims=True)
-    bad = ln[:, 0] < 1e-20
-    n[bad] = [0.0, 0.0, 1.0]
-    ln[bad] = 1.0
-    return n / ln
+    return runtime.smooth_normals(positions, indices)
 
 
 def _default_tangents(normals: np.ndarray) -> np.ndarray:

@@ -64,7 +64,14 @@ def _load_hdr_numpy(path: str) -> np.ndarray:
     h, w = int(res[1]), int(res[3])
     pos = eol + 1
 
-    buf = np.frombuffer(data, np.uint8, offset=pos)
+    payload = data[pos:]
+    from .. import runtime
+
+    native = runtime.rgbe_decode(payload, w, h)
+    if native is not None:
+        return native
+
+    buf = np.frombuffer(payload, np.uint8)
     out = np.empty((h, w, 4), np.uint8)
     ptr = 0
     for y in range(h):

@@ -235,8 +235,12 @@ class BVH(NamedTuple):
     aabb_min: jax.Array  # (2T-1, 3) f32
     aabb_max: jax.Array  # (2T-1, 3) f32
     left: jax.Array      # (2T-1,) i32 first child; -1 for leaves
+    right: jax.Array     # (2T-1,) i32 second child; -1 for leaves
     skip: jax.Array      # (2T-1,) i32 next node when skipping subtree; -1 = done
     node_tri: jax.Array  # (2T-1,) i32 triangle id for leaves; -1 for internal
+    range_lo: jax.Array  # (2T-1,) i32 sorted-leaf range start of the subtree
+    range_hi: jax.Array  # (2T-1,) i32 sorted-leaf range end (inclusive)
+    order: jax.Array     # (T,) i32 sorted-leaf position -> original triangle id
 
 
 class SceneData(NamedTuple):

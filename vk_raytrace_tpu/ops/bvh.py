@@ -173,14 +173,22 @@ def build_bvh(positions: jax.Array, indices: jax.Array) -> BVH:
     skip = jax.lax.fori_loop(0, _MAX_DEPTH, thread, skip)
 
     left = jnp.concatenate([left_child, jnp.full((t,), -1, jnp.int32)])
+    right = jnp.concatenate([right_child, jnp.full((t,), -1, jnp.int32)])
     node_tri = jnp.concatenate([jnp.full((n_int,), -1, jnp.int32), order])
+    leaf_pos = jnp.arange(t, dtype=jnp.int32)
+    range_lo = jnp.concatenate([lo, leaf_pos])
+    range_hi = jnp.concatenate([hi, leaf_pos])
 
     return BVH(
         aabb_min=aabb_min,
         aabb_max=aabb_max,
         left=left,
+        right=right,
         skip=skip,
         node_tri=node_tri,
+        range_lo=range_lo,
+        range_hi=range_hi,
+        order=order,
     )
 
 

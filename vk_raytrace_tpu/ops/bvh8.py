@@ -1,0 +1,159 @@
+"""8-wide BVH: collapse of the binary LBVH into gather-efficient 256-byte rows.
+
+Motivation (measured on TPU v5e): XLA row-gathers cost ~flat time per ROW
+almost independent of row size up to 512B. The binary skip-pointer walk does
+~300 sequential 32B gathers per ray; this module re-packs the same tree so a
+ray needs ~10x fewer, fatter gathers:
+
+* **Interior rows** hold 8 children: 8 AABBs (48 lanes) + 8 child refs
+  (8 lanes) + padding = one (64,) f32 row = 256B. One gather tests 8 subtrees.
+* **Leaf rows** hold 4 whole triangles (4 x 16-lane packed entries = exactly
+  64 lanes): positions, UVs, and id/flag metadata. One gather intersects 4
+  triangles. Karras subtrees cover contiguous sorted-triangle ranges, so leaf
+  bundles are just ranges of the Morton-sorted triangle list.
+* Both kinds live in ONE unified `rows` array, so the traversal loop issues
+  exactly one dense row gather per iteration (`ops/traverse_wide.py`).
+
+The collapse runs on host (numpy) at scene build: expansion of each binary
+node to <= 8 frontier slots (largest-subtree-first), closure marking of the
+wide-node set, then row packing. Integer refs are stored as exact f32 values
+(TPU float lanes flush denormal bit patterns — see ops/traverse.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.schema import BVH, Geometry
+
+LEAF_MAX = 4
+_INVALID_AABB = 3.0e38
+
+
+class WideScene(NamedTuple):
+    """Traversal-ready unified row table (see module docstring).
+
+    Row lanes for interior rows:
+      [c*6 .. c*6+5] for child c in 0..7: bmin.xyz, bmax.xyz
+      [48+c]: child ref — >= 0: interior row id; < 0: -(leaf_code+1) with
+              leaf_code = leaf_row_id*4 + (count-1); empty slots have
+              inverted AABBs (never hit).
+      [56..63]: unused (zero)
+    Leaf rows: 4 x 16-lane packed triangles:
+      [t*16 .. t*16+8]: p0, p1, p2
+      [t*16+9 .. t*16+14]: uv0, uv1, uv2
+      [t*16+15]: orig_tri_id*4 + flags (bit0 double-sided, bit1 alpha)
+    """
+
+    rows: jax.Array  # (X, 64) f32
+
+
+def collapse_bvh8(bvh: BVH, geom: Geometry, leaf_max: int = LEAF_MAX) -> WideScene:
+    left = np.asarray(bvh.left).astype(np.int64)
+    right = np.asarray(bvh.right).astype(np.int64)
+    lo = np.asarray(bvh.range_lo).astype(np.int64)
+    hi = np.asarray(bvh.range_hi).astype(np.int64)
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
+    order = np.asarray(bvh.order).astype(np.int64)
+
+    n_nodes = len(left)
+    t = (n_nodes + 1) // 2
+    n_int = t - 1
+    size = hi - lo + 1
+
+    # --- expand each internal node to <= 8 frontier slots -----------------
+    slots = np.full((n_int, 8), -1, np.int64)
+    slots[:, 0] = left[:n_int]
+    slots[:, 1] = right[:n_int]
+    nfill = np.full(n_int, 2, np.int64)
+    rows_idx = np.arange(n_int)
+    for _ in range(6):
+        sz = np.where(slots >= 0, size[np.maximum(slots, 0)], -1)
+        expandable = sz > leaf_max
+        can = expandable.any(axis=1) & (nfill < 8)
+        pick = np.argmax(np.where(expandable, sz, -1), axis=1)
+        chosen = slots[rows_idx, pick]
+        rs = np.where(can)[0]
+        slots[rs, pick[rs]] = left[chosen[rs]]
+        slots[rs, nfill[rs]] = right[chosen[rs]]
+        nfill[rs] += 1
+
+    # --- wide-node closure ------------------------------------------------
+    interior_slot = (slots >= 0) & (size[np.maximum(slots, 0)] > leaf_max)
+    wide = np.zeros(n_int, bool)
+    wide[0] = True
+    while True:
+        targets = slots[wide[:, None] & interior_slot]
+        before = wide.copy()
+        wide[targets] = True
+        if (wide == before).all():
+            break
+    widx = np.where(wide)[0]            # wide row -> binary node id
+    n_wide = len(widx)
+    # Sized over ALL binary nodes: slots may hold leaf ids (>= n_int).
+    wide_id = np.full(n_nodes, -1, np.int64)
+    wide_id[widx] = np.arange(n_wide)
+
+    # --- leaf blocks ------------------------------------------------------
+    wslots = slots[widx]                              # (W, 8)
+    wvalid = wslots >= 0
+    winter = interior_slot[widx]
+    wleaf = wvalid & ~winter
+    leaf_nodes = wslots[wleaf]                        # binary node ids
+    leaf_start = lo[leaf_nodes]
+    leaf_count = size[leaf_nodes]
+    n_leaf = len(leaf_nodes)
+    assert leaf_count.max(initial=1) <= leaf_max
+
+    n_rows = n_wide + n_leaf
+    assert n_rows * 4 + 4 < 2**23, "scene too large for exact-f32 ref encoding"
+    assert t * 4 < 2**23, "too many triangles for exact-f32 id encoding"
+
+    # --- packed sorted triangle entries (16 lanes each) -------------------
+    idx = np.asarray(geom.indices).astype(np.int64)[order]     # sorted tris
+    pos = np.asarray(geom.positions)
+    uv = np.asarray(geom.uv)
+    # Lane 15 carries the ORIGINAL triangle id (shade state gathers vertex
+    # attributes by it) plus the cull/alpha flags; the material id for the
+    # alpha test is fetched via tri_material[orig] on the rare alpha path.
+    tmat_flags = order * 4 + np.asarray(geom.tri_flags).astype(np.int64)[order]
+    entries = np.zeros((t, 16), np.float32)
+    entries[:, 0:3] = pos[idx[:, 0]]
+    entries[:, 3:6] = pos[idx[:, 1]]
+    entries[:, 6:9] = pos[idx[:, 2]]
+    entries[:, 9:11] = uv[idx[:, 0]]
+    entries[:, 11:13] = uv[idx[:, 1]]
+    entries[:, 13:15] = uv[idx[:, 2]]
+    entries[:, 15] = tmat_flags.astype(np.float32)
+
+    rows = np.zeros((n_rows, 64), np.float32)
+
+    # Leaf rows: 4 consecutive sorted entries (padded with degenerate zeros).
+    leaf_rows = np.zeros((n_leaf, 4, 16), np.float32)
+    for k in range(leaf_max):
+        has = leaf_count > k
+        src = np.minimum(leaf_start + k, t - 1)
+        leaf_rows[has, k] = entries[src[has]]
+    rows[n_wide:] = leaf_rows.reshape(n_leaf, 64)
+
+    # Interior rows.
+    leaf_code = (n_wide + np.arange(n_leaf)) * 4 + (leaf_count - 1)
+    ref = np.zeros((n_wide, 8), np.float32)
+    ref[wleaf] = -(leaf_code + 1)
+    ref[winter] = wide_id[np.maximum(wslots, 0)][winter]
+
+    aabb = np.zeros((n_wide, 8, 6), np.float32)
+    aabb[..., 0:3] = _INVALID_AABB
+    aabb[..., 3:6] = -_INVALID_AABB
+    sn = np.maximum(wslots, 0)
+    aabb[wvalid, 0:3] = amin[sn][wvalid]
+    aabb[wvalid, 3:6] = amax[sn][wvalid]
+    rows[:n_wide, 0:48] = aabb.reshape(n_wide, 48)
+    rows[:n_wide, 48:56] = ref
+
+    return WideScene(rows=jnp.asarray(rows))

@@ -255,6 +255,38 @@ def _physical_scale(sun_disk_scale, sun_glow_intensity, sun_disk_intensity):
     return disk_scale, glow_scale
 
 
+def bake_environment(ss: SunSky, height: int = 512, width: int = 1024) -> jax.Array:
+    """Evaluate the procedural sky into a lat-long map (H, W, 3).
+
+    TPU-first design decision: the reference evaluates ``sun_and_sky`` per
+    ray in-shader (pathtrace.glsl:220); on a vector machine the model's
+    ~1000 transcendentals/ray (incl. the 25-sample ground irradiance
+    quadrature) dominate whole frames. Baking once per parameter change
+    turns the runtime path into a plain environment lookup, and the alias
+    table then importance-samples the sun disk far better than the
+    reference's fixed pdf=0.5 cone (env_sampling.glsl:110-125).
+    The grid matches ``GetSphericalUv``'s mapping exactly.
+    """
+    us = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    vs = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    theta = (us - 0.5) * (2.0 * M_PI)          # atan2(z, x)
+    gamma = (vs - 0.5) * M_PI                  # asin(-y)
+    cg = jnp.cos(gamma)[:, None]
+    y = -jnp.sin(gamma)[:, None] * jnp.ones((1, width))
+    x = cg * jnp.cos(theta)[None, :]
+    z = cg * jnp.sin(theta)[None, :]
+    dirs = jnp.stack([x, y, z], axis=-1)
+
+    # Evaluate in row chunks to keep each program small.
+    rows = []
+    chunk = max(1, (1 << 16) // width)
+    f = jax.jit(lambda d: sun_and_sky(ss, d))
+    for y0 in range(0, height, chunk):
+        rows.append(f(dirs[y0 : y0 + chunk].reshape(-1, 3)))
+    out = jnp.concatenate(rows, axis=0).reshape(height, width, 3)
+    return jnp.maximum(out, 0.0)
+
+
 def sun_and_sky(ss: SunSky, direction: jax.Array) -> jax.Array:
     """Radiance of the procedural sky along ``direction`` (..., 3).
 

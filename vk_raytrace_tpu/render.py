@@ -12,6 +12,7 @@ the complete, checkpointable render state (SURVEY.md §5 "checkpoint/resume").
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -19,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .integrator.camera import generate_rays
+from .integrator.camera import generate_rays, generate_rays_for_pixels
 from .integrator.path import sample_pixels
 from .models.schema import (
     Camera,
@@ -39,8 +40,8 @@ from .models.schema import (
 )
 from .ops import rng
 from .ops.bvh import build_bvh
+from .ops.bvh8 import WideScene, collapse_bvh8
 from .ops.tonemap import apply_post
-from .ops.traverse import PackedScene, pack_scene
 
 
 def build_scene(
@@ -74,33 +75,84 @@ def build_scene(
     )
 
 
+def pack_scene(bvh, geometry) -> WideScene:
+    """Build the traversal-ready 8-wide row table (host-side collapse of the
+    device-built binary LBVH; see ops/bvh8.py)."""
+    return collapse_bvh8(bvh, geometry)
+
+
 def scene_has_alpha(scene: SceneData) -> bool:
     """Static host-side check: any non-opaque material in use?"""
     return bool(np.any(np.asarray(scene.geometry.tri_flags) & 2))
 
 
+def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
+    """Bake the procedural sky into the environment when enabled.
+
+    Returns ``(scene', cfg')`` where the runtime integrator path treats the
+    baked sky exactly like an HDR environment (see
+    ops/sunsky.py::bake_environment for the rationale).
+    """
+    if not cfg.use_sun_sky:
+        return scene, cfg
+    from .models.hdr import build_environment
+    from .ops.sunsky import bake_environment
+
+    img = bake_environment(scene.sun_sky)
+    env = build_environment(img)
+    scene = scene._replace(env=env)
+    cfg = dataclasses.replace(cfg, use_sun_sky=False)
+    return scene, cfg
+
+
+def render_strip_impl(
+    scene: SceneData,
+    packed: WideScene,
+    cfg: RenderConfig,
+    row0: jax.Array,    # () i32 first image row of this strip
+    n_rows: int,        # static strip height
+    frame: jax.Array,   # () i32
+    has_alpha: bool,
+) -> jax.Array:
+    """``maxSamples`` full paths per pixel for one row strip, averaged.
+
+    Strips bound the size of a single device program: a full 1080p bounce
+    loop in one dispatch runs for tens of seconds and can trip device
+    watchdogs, and strip-sized programs also keep live wavefront state small.
+    """
+    w = cfg.width
+    pix = (
+        jnp.arange(n_rows * w, dtype=jnp.uint32)
+        + row0.astype(jnp.uint32) * jnp.uint32(w)
+    )
+    total = jnp.zeros((n_rows * w, 3), jnp.float32)
+    for s in range(cfg.max_samples):
+        seed = rng.tea(pix, frame.astype(jnp.uint32) * cfg.max_samples + s)
+        o, d, seed = generate_rays_for_pixels(scene.camera, w, cfg.height, pix, frame, seed)
+        radiance, seed, _ = sample_pixels(scene, packed, cfg, o, d, seed, has_alpha)
+        total = total + radiance
+    return (total / cfg.max_samples).reshape(n_rows, w, 3)
+
+
+render_strip = functools.partial(
+    jax.jit, static_argnames=("cfg", "n_rows", "has_alpha")
+)(render_strip_impl)
+
+
 def render_frame_impl(
     scene: SceneData,
-    packed: PackedScene,
+    packed: WideScene,
     cfg: RenderConfig,
     accum: jax.Array,   # (H, W, 3) running mean
     frame: jax.Array,   # () i32
     has_alpha: bool,
 ) -> jax.Array:
-    """One progressive frame: ``maxSamples`` full paths per pixel, averaged,
-    then blended into the running mean (pathtrace.rgen:75-107)."""
-    w, h = cfg.width, cfg.height
-    r = w * h
-    pix = jnp.arange(r, dtype=jnp.uint32)
-
-    total = jnp.zeros((r, 3), jnp.float32)
-    for s in range(cfg.max_samples):
-        seed = rng.tea(pix, frame.astype(jnp.uint32) * cfg.max_samples + s)
-        o, d, seed = generate_rays(scene.camera, w, h, frame, seed)
-        radiance, seed, _ = sample_pixels(scene, packed, cfg, o, d, seed, has_alpha)
-        total = total + radiance
-
-    new = (total / cfg.max_samples).reshape(h, w, 3)
+    """One progressive frame in a single program (used by the driver's
+    compile checks and the multi-chip path, where per-device chunks are
+    already strip-sized)."""
+    new = render_strip_impl(
+        scene, packed, cfg, jnp.asarray(0, jnp.int32), cfg.height, frame, has_alpha
+    )
     a = 1.0 / (frame.astype(jnp.float32) + 1.0)
     return accum + (new - accum) * a
 
@@ -108,6 +160,20 @@ def render_frame_impl(
 render_frame = functools.partial(
     jax.jit, static_argnames=("cfg", "has_alpha"), donate_argnames=("accum",)
 )(render_frame_impl)
+
+# Target rays per device program (watchdog-safe, see render_strip_impl).
+MAX_RAYS_PER_DISPATCH = 1 << 19
+
+
+def strip_rows_for(cfg: RenderConfig) -> int:
+    rows = max(8, MAX_RAYS_PER_DISPATCH // max(cfg.width, 1))
+    rows = min(rows, cfg.height)
+    # Equal-height strips that divide the image exactly keep one compiled
+    # executable for all strips.
+    n = -(-cfg.height // rows)
+    while cfg.height % n:
+        n += 1
+    return cfg.height // n
 
 
 class Renderer:
@@ -126,8 +192,8 @@ class Renderer:
         cfg: RenderConfig,
         tonemapper: Optional[Tonemapper] = None,
     ):
-        self.scene = scene
         self.cfg = cfg
+        self.scene, self._run_cfg = prepare_sun_sky(scene, cfg)
         self.tonemapper = tonemapper or default_tonemapper()
         self.packed = pack_scene(scene.bvh, scene.geometry)
         self.has_alpha = scene_has_alpha(scene)
@@ -140,15 +206,25 @@ class Renderer:
         self.accum = jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
 
     def step(self) -> None:
-        """Render one progressive frame into the accumulation buffer."""
-        self.accum = render_frame(
-            self.scene,
-            self.packed,
-            self.cfg,
-            self.accum,
-            jnp.asarray(self.frame, jnp.int32),
-            self.has_alpha,
-        )
+        """Render one progressive frame into the accumulation buffer.
+
+        Dispatches watchdog-safe row strips (one compiled executable reused
+        for every strip) and blends the assembled frame into the running
+        mean (pathtrace.rgen:96-107)."""
+        h, w = self.cfg.height, self.cfg.width
+        rows = strip_rows_for(self.cfg)
+        frame = jnp.asarray(self.frame, jnp.int32)
+        strips = []
+        for row0 in range(0, h, rows):
+            strips.append(
+                render_strip(
+                    self.scene, self.packed, self._run_cfg,
+                    jnp.asarray(row0, jnp.int32), rows, frame, self.has_alpha,
+                )
+            )
+        new = jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
+        a = 1.0 / (self.frame + 1.0)
+        self.accum = self.accum + (new - self.accum) * a
         self.frame += 1
 
     def render(self, frames: int = 1) -> np.ndarray:
@@ -165,6 +241,36 @@ class Renderer:
     def postprocess(self) -> jax.Array:
         """Tonemap + post chain (drawPost, sample_example.cpp:362-384)."""
         return apply_post(self.accum, self.tonemapper)
+
+    # -- picking (screenPicking analog, sample_example.cpp:469-511) --------
+    def pick(self, x: int, y: int):
+        """Trace one ray through pixel (x, y); returns a dict with the hit
+        triangle / material / distance / position (RayPickerKHR analog)."""
+        from .integrator.camera import generate_rays_for_pixels
+        from .ops import rng as rngmod
+        from .ops.traverse_wide import closest_hit_wide
+
+        pix = jnp.asarray([y * self.cfg.width + x], jnp.uint32)
+        seed = rngmod.tea(pix, jnp.uint32(0))
+        o, d, _ = generate_rays_for_pixels(
+            self.scene.camera, self.cfg.width, self.cfg.height, pix,
+            jnp.asarray(0, jnp.int32), seed,
+        )
+        hit, _ = closest_hit_wide(
+            self.packed, self.scene.geometry.tri_material, o, d
+        )
+        tri = int(hit.tri[0])
+        if tri < 0:
+            return None
+        t = float(hit.t[0])
+        p = np.asarray(o[0] + d[0] * t)
+        return {
+            "triangle": tri,
+            "material": int(self.scene.geometry.tri_material[tri]),
+            "t": t,
+            "position": p,
+            "barycentrics": (float(hit.u[0]), float(hit.v[0])),
+        }
 
     # -- checkpoint/resume (SURVEY.md §5) ----------------------------------
     def save_state(self):

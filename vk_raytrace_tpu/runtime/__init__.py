@@ -1,0 +1,192 @@
+"""Native (C++) host runtime with automatic build + Python fallback.
+
+The reference's host layer is C++ (``src/scene.cpp``, ``src/hdr_sampling.cpp``);
+this package provides the same hot loops as a small C-ABI shared library
+(``native.cpp``) loaded via ctypes — pybind11 isn't available in this image.
+The library is compiled on first use with g++ and cached next to the source;
+every entry point has a pure-numpy fallback so the framework works without a
+toolchain.
+
+Exposed helpers: :func:`rgbe_decode`, :func:`oct_encode`, :func:`oct_decode`,
+:func:`smooth_normals`, :func:`alias_table_seq`, :func:`pack_rgba8`,
+plus :data:`available` saying whether the native path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "native.cpp")
+_LIB = os.path.join(_DIR, "_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", _LIB + ".tmp", _SRC,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build():
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(_LIB)
+        lib.rgbe_decode.restype = ctypes.c_int
+        lib.alias_table_build.restype = ctypes.c_float
+        _lib = lib
+    except OSError:
+        _lib = False
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+@property
+def _available():  # pragma: no cover - trivial
+    return bool(_load())
+
+
+def available() -> bool:
+    """True when the native library loaded (or compiled) successfully."""
+    return bool(_load())
+
+
+def rgbe_decode(data: bytes, width: int, height: int) -> np.ndarray | None:
+    """Decode RGBE scanlines to (H, W, 3) f32; None -> caller falls back."""
+    lib = _load()
+    if not lib:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((height, width, 3), np.float32)
+    rc = lib.rgbe_decode(
+        _ptr(buf), ctypes.c_int64(len(buf)), width, height, _ptr(out)
+    )
+    return out if rc == 0 else None
+
+
+def oct_encode(vecs: np.ndarray) -> np.ndarray:
+    """Octahedral-compress unit vectors (n, 3) f32 -> (n,) u32."""
+    vecs = np.ascontiguousarray(vecs, np.float32)
+    lib = _load()
+    n = len(vecs)
+    if lib:
+        out = np.empty(n, np.uint32)
+        lib.oct_encode_batch(_ptr(vecs), ctypes.c_int64(n), _ptr(out))
+        return out
+    # numpy fallback mirrors ops/math.py::oct_encode
+    import jax.numpy as jnp
+
+    from ..ops.math import oct_encode as jax_oct
+
+    return np.asarray(jax_oct(jnp.asarray(vecs)))
+
+
+def oct_decode(packed: np.ndarray) -> np.ndarray:
+    packed = np.ascontiguousarray(packed, np.uint32)
+    lib = _load()
+    n = len(packed)
+    if lib:
+        out = np.empty((n, 3), np.float32)
+        lib.oct_decode_batch(_ptr(packed), ctypes.c_int64(n), _ptr(out))
+        return out
+    import jax.numpy as jnp
+
+    from ..ops.math import oct_decode as jax_dec
+
+    return np.asarray(jax_dec(jnp.asarray(packed)))
+
+
+def smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals; (nv,3) f64 + (nt,3) i64 -> (nv,3) f64."""
+    positions = np.ascontiguousarray(positions, np.float64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    lib = _load()
+    if lib:
+        out = np.empty_like(positions)
+        lib.smooth_normals(
+            _ptr(positions), ctypes.c_int64(len(positions)),
+            _ptr(indices), ctypes.c_int64(len(indices)), _ptr(out),
+        )
+        return out
+    n = np.zeros_like(positions)
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    for k in range(3):
+        np.add.at(n, indices[:, k], fn)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    bad = ln[:, 0] < 1e-20
+    n[bad] = [0.0, 0.0, 1.0]
+    ln[bad] = 1.0
+    return n / ln
+
+
+def alias_table_seq(importance: np.ndarray):
+    """Exact sequential Walker table (the reference algorithm,
+    hdr_sampling.cpp:107-176). Returns (q, alias, integral)."""
+    importance = np.ascontiguousarray(importance, np.float32)
+    n = len(importance)
+    lib = _load()
+    if lib:
+        q = np.empty(n, np.float32)
+        alias = np.empty(n, np.uint32)
+        total = lib.alias_table_build(
+            _ptr(importance), ctypes.c_int64(n), _ptr(q), _ptr(alias)
+        )
+        return q, alias.astype(np.int64), float(total)
+    # numpy fallback
+    total = float(importance.sum())
+    q = importance.astype(np.float64) * n / max(total, 1e-30)
+    alias = np.arange(n)
+    part = np.zeros(n, np.int64)
+    s, large = 0, n
+    for i in range(n):
+        if q[i] < 1.0:
+            part[s] = i
+            s += 1
+        else:
+            large -= 1
+            part[large] = i
+    s = 0
+    while s < large and large < n:
+        lo, hi = part[s], part[large]
+        alias[lo] = hi
+        q[hi] -= 1.0 - q[lo]
+        if q[hi] < 1.0:
+            large += 1
+        s += 1
+    return q.astype(np.float32), alias, total
+
+
+def pack_rgba8(colors: np.ndarray) -> np.ndarray:
+    colors = np.ascontiguousarray(colors, np.float32)
+    lib = _load()
+    if lib:
+        out = np.empty(len(colors), np.uint32)
+        lib.pack_rgba8(_ptr(colors), ctypes.c_int64(len(colors)), _ptr(out))
+        return out
+    c8 = np.round(np.clip(colors, 0.0, 1.0) * 255.0).astype(np.uint32)
+    return c8[:, 0] | (c8[:, 1] << 8) | (c8[:, 2] << 16) | (c8[:, 3] << 24)
