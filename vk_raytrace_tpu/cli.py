@@ -114,6 +114,20 @@ def load_scene_from_args(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os as _os
+
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "VKRT_COMPILE_CACHE", _os.path.expanduser("~/.cache/vkrt_xla")
+        )
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     import jax
     import numpy as np
 

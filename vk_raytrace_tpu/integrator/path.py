@@ -60,7 +60,7 @@ from ..ops.math import (
     temperature,
 )
 from ..ops.traverse import AlphaCtx
-from ..ops.bvh8 import WideScene
+from ..ops.bvh8 import AccelBundle
 from .shade import get_shade_state, resolve_material
 
 
@@ -120,7 +120,7 @@ def _debug_info(cfg: RenderConfig, state) -> jax.Array:
 
 def trace_paths(
     scene: SceneData,
-    packed: WideScene,
+    packed: AccelBundle,
     cfg: RenderConfig,
     origin: jax.Array,
     direction: jax.Array,
@@ -157,7 +157,7 @@ def trace_paths(
     want_first_hit_debug = DEBUG_NONE < cfg.debug_mode < DEBUG_RADIANCE
 
     def bounce(st: PathState, depth: int) -> PathState:
-        hit, seed = traverse_wide.closest_hit_wide(
+        hit, seed = traverse_wide.closest_hit_bundle(
             packed,
             scene.geometry.tri_material,
             st.origin,
@@ -278,7 +278,7 @@ def trace_paths(
         new_dir = jnp.where(alive[..., None], l_b, st.direction)
 
         # ---- Deferred shadow ray (:320-331) ------------------------------
-        occluded, seed = traverse_wide.any_hit_wide(
+        occluded, seed = traverse_wide.any_hit_bundle(
             packed,
             scene.geometry.tri_material,
             new_origin,
@@ -330,7 +330,7 @@ def trace_paths(
 
 def sample_pixels(
     scene: SceneData,
-    packed: WideScene,
+    packed: AccelBundle,
     cfg: RenderConfig,
     origin: jax.Array,
     direction: jax.Array,

@@ -52,7 +52,14 @@ class WideScene(NamedTuple):
     rows: jax.Array  # (X, 64) f32
 
 
-def collapse_bvh8(bvh: BVH, geom: Geometry, leaf_max: int = LEAF_MAX) -> WideScene:
+def collapse_bvh8(
+    bvh: BVH,
+    geom: Geometry,
+    leaf_max: int = LEAF_MAX,
+    tri_ids: np.ndarray | None = None,
+) -> WideScene:
+    """``tri_ids`` maps this geometry's triangle indices to ORIGINAL scene
+    triangle ids (used when collapsing a subset — see :func:`split_scene`)."""
     left = np.asarray(bvh.left).astype(np.int64)
     right = np.asarray(bvh.right).astype(np.int64)
     lo = np.asarray(bvh.range_lo).astype(np.int64)
@@ -121,7 +128,8 @@ def collapse_bvh8(bvh: BVH, geom: Geometry, leaf_max: int = LEAF_MAX) -> WideSce
     # Lane 15 carries the ORIGINAL triangle id (shade state gathers vertex
     # attributes by it) plus the cull/alpha flags; the material id for the
     # alpha test is fetched via tri_material[orig] on the rare alpha path.
-    tmat_flags = order * 4 + np.asarray(geom.tri_flags).astype(np.int64)[order]
+    orig_ids = order if tri_ids is None else np.asarray(tri_ids, np.int64)[order]
+    tmat_flags = orig_ids * 4 + np.asarray(geom.tri_flags).astype(np.int64)[order]
     entries = np.zeros((t, 16), np.float32)
     entries[:, 0:3] = pos[idx[:, 0]]
     entries[:, 3:6] = pos[idx[:, 1]]
@@ -157,3 +165,58 @@ def collapse_bvh8(bvh: BVH, geom: Geometry, leaf_max: int = LEAF_MAX) -> WideSce
     rows[:n_wide, 48:56] = ref
 
     return WideScene(rows=jnp.asarray(rows))
+
+
+class AccelBundle(NamedTuple):
+    """Dual acceleration structures: the analog of the reference's
+    FORCE_OPAQUE TLAS-instance optimization (accelstruct.cpp:140-149, which
+    lets RTX hardware skip any-hit shaders for opaque geometry).
+
+    Opaque triangles traverse without any alpha machinery (the in-traversal
+    alpha test costs ~7x); the usually-small alpha set gets its own BVH,
+    traversed with the opaque hit distance as t_max so it is doubly pruned.
+    ``alpha`` is None for fully opaque scenes.
+    """
+
+    opaque: WideScene
+    alpha: WideScene | None
+
+
+def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBundle:
+    """Split the scene by the per-triangle alpha flag and build the wide
+    structure(s). Reuses ``bvh_full`` when there is nothing to split."""
+    from .bvh import build_bvh
+
+    flags = np.asarray(geom.tri_flags)
+    alpha_mask = (flags & 2) != 0
+    if not alpha_mask.any():
+        if bvh_full is None:
+            bvh_full = build_bvh(geom.positions, geom.indices)
+        return AccelBundle(opaque=collapse_bvh8(bvh_full, geom), alpha=None)
+
+    def subset(mask: np.ndarray) -> tuple[Geometry, np.ndarray]:
+        ids = np.where(mask)[0]
+        sub_ids = ids
+        idx = np.asarray(geom.indices)[ids]
+        tm = np.asarray(geom.tri_material)[ids]
+        tf = np.asarray(geom.tri_flags)[ids]
+        if len(ids) < 2:  # LBVH needs >= 2 triangles; pad with a degenerate
+            idx = np.concatenate([idx, np.zeros((2 - len(ids), 3), idx.dtype)])
+            tm = np.concatenate([tm, np.zeros(2 - len(ids), tm.dtype)])
+            tf = np.concatenate([tf, np.zeros(2 - len(ids), tf.dtype)])
+            sub_ids = np.concatenate([ids, np.zeros(2 - len(ids), ids.dtype)])
+        sub = geom._replace(
+            indices=jnp.asarray(idx),
+            tri_material=jnp.asarray(tm),
+            tri_flags=jnp.asarray(tf),
+        )
+        return sub, sub_ids
+
+    geo_o, ids_o = subset(~alpha_mask)
+    geo_a, ids_a = subset(alpha_mask)
+    bvh_o = build_bvh(geo_o.positions, geo_o.indices)
+    bvh_a = build_bvh(geo_a.positions, geo_a.indices)
+    return AccelBundle(
+        opaque=collapse_bvh8(bvh_o, geo_o, tri_ids=ids_o),
+        alpha=collapse_bvh8(bvh_a, geo_a, tri_ids=ids_a),
+    )

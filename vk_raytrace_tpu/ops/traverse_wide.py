@@ -20,9 +20,51 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..models.schema import ALPHA_MASK
 from . import rng
 from .bvh8 import WideScene
-from .traverse import INF, AlphaCtx, Hit, _alpha_opacity
+from .traverse import INF, AlphaCtx, Hit
+
+
+class AlphaPack(NamedTuple):
+    """Gather-minimal alpha-test tables (built by :func:`make_alpha_pack`).
+
+    The naive in-traversal alpha test costs ~36 in-loop gathers per
+    iteration (material fields + bilinear atlas taps per candidate
+    triangle); packing every per-material quantity into one 16-lane row and
+    using nearest-neighbor alpha taps cuts that to 3 gathers.
+    """
+
+    rows: jax.Array         # (M, 16): a_factor, mode, cutoff, tex_id,
+                            # uvT 3x2 (6), atlas x/y/w/h, wrap_s/t
+    alpha_plane: jax.Array  # (H*W,) u8 — atlas alpha channel, flat
+    atlas_width: int
+
+
+def make_alpha_pack(ctx: AlphaCtx) -> AlphaPack:
+    m = ctx.materials
+    t = m.uv_transform  # (M, 3, 3), applied as [u, v, 1] @ T
+    rows = jnp.stack(
+        [
+            m.base_color_factor[:, 3],
+            m.alpha_mode.astype(jnp.float32),
+            m.alpha_cutoff,
+            m.base_color_texture.astype(jnp.float32),
+            t[:, 0, 0], t[:, 0, 1], t[:, 1, 0], t[:, 1, 1], t[:, 2, 0], t[:, 2, 1],
+            ctx.atlas.x[jnp.clip(m.base_color_texture, 0, ctx.atlas.x.shape[0] - 1)].astype(jnp.float32),
+            ctx.atlas.y[jnp.clip(m.base_color_texture, 0, ctx.atlas.x.shape[0] - 1)].astype(jnp.float32),
+            ctx.atlas.width[jnp.clip(m.base_color_texture, 0, ctx.atlas.x.shape[0] - 1)].astype(jnp.float32),
+            ctx.atlas.height[jnp.clip(m.base_color_texture, 0, ctx.atlas.x.shape[0] - 1)].astype(jnp.float32),
+            ctx.atlas.wrap_s[jnp.clip(m.base_color_texture, 0, ctx.atlas.x.shape[0] - 1)].astype(jnp.float32),
+            ctx.atlas.wrap_t[jnp.clip(m.base_color_texture, 0, ctx.atlas.x.shape[0] - 1)].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    return AlphaPack(
+        rows=rows,
+        alpha_plane=ctx.atlas.data[:, :, 3].reshape(-1),
+        atlas_width=int(ctx.atlas.data.shape[1]),
+    )
 
 _EPS_DET = jnp.float32(1e-12)
 TERM = jnp.int32(-(2**30))
@@ -58,6 +100,7 @@ def _traverse_wide(
         seed = jnp.zeros((r,), jnp.uint32)
 
     with_alpha = alpha_ctx is not None
+    alpha_pack = make_alpha_pack(alpha_ctx) if with_alpha else None
     lane_d = jax.lax.broadcasted_iota(jnp.int32, (1, STACK_DEPTH), 1)
 
     def body(state):
@@ -153,19 +196,52 @@ def _traverse_wide(
         )
 
         if with_alpha:
+            # 3 in-loop gathers total: material ids, packed alpha rows,
+            # nearest-neighbor alpha texels (traceray_rq.glsl:55-100
+            # semantics; nearest instead of bilinear for the stochastic
+            # test — the per-sample randomization dominates any filtering
+            # difference).
             has_alpha_tri = geo_hit & ((flags & 2) != 0)
+            mat_ids = tri_material[jnp.clip(orig, 0, tri_material.shape[0] - 1)]
+            arow = alpha_pack.rows[jnp.clip(mat_ids, 0, alpha_pack.rows.shape[0] - 1)]
+            wbar = (1.0 - uu - vv)
+            uvu = (
+                tris4[:, :, 9] * wbar + tris4[:, :, 11] * uu + tris4[:, :, 13] * vv
+            )
+            uvv = (
+                tris4[:, :, 10] * wbar + tris4[:, :, 12] * uu + tris4[:, :, 14] * vv
+            )
+            ut = uvu * arow[:, :, 4] + uvv * arow[:, :, 6] + arow[:, :, 8]
+            vt = uvu * arow[:, :, 5] + uvv * arow[:, :, 7] + arow[:, :, 9]
+            tw = jnp.maximum(arow[:, :, 12].astype(jnp.int32), 1)
+            th = jnp.maximum(arow[:, :, 13].astype(jnp.int32), 1)
+            xi = jnp.floor(ut * tw.astype(jnp.float32)).astype(jnp.int32)
+            yi = jnp.floor(vt * th.astype(jnp.float32)).astype(jnp.int32)
+
+            def wrap(c, size, mode):
+                rep = jnp.remainder(c, size)
+                clm = jnp.clip(c, 0, size - 1)
+                mm = jnp.remainder(c, 2 * size)
+                mir = jnp.where(mm >= size, 2 * size - 1 - mm, mm)
+                return jnp.where(mode == 0, rep, jnp.where(mode == 1, clm, mir))
+
+            xw = wrap(xi, tw, arow[:, :, 14].astype(jnp.int32)) + arow[:, :, 10].astype(jnp.int32)
+            yw = wrap(yi, th, arow[:, :, 15].astype(jnp.int32)) + arow[:, :, 11].astype(jnp.int32)
+            flat = jnp.clip(
+                yw * alpha_pack.atlas_width + xw, 0, alpha_pack.alpha_plane.shape[0] - 1
+            )
+            texel_a = alpha_pack.alpha_plane[flat].astype(jnp.float32) * (1.0 / 255.0)
+            a = arow[:, :, 0] * jnp.where(arow[:, :, 3] >= 0.0, texel_a, 1.0)
+            is_mask = arow[:, :, 1] == float(ALPHA_MASK)
+            opacity = jnp.where(is_mask, (a > arow[:, :, 2]).astype(jnp.float32), a)
+
+            # One rand per candidate, consumed only where needed (keeps the
+            # per-lane stream semantics of the sequential reference).
             for k in range(4):
                 needs = has_alpha_tri[:, k]
-                uvh = (
-                    tris4[:, k, 9:11] * (1.0 - uu[:, k] - vv[:, k])[:, None]
-                    + tris4[:, k, 11:13] * uu[:, k][:, None]
-                    + tris4[:, k, 13:15] * vv[:, k][:, None]
-                )
-                mat_id = tri_material[jnp.clip(orig[:, k], 0, tri_material.shape[0] - 1)]
-                opacity = _alpha_opacity(alpha_ctx, mat_id, uvh)
                 seed2, rnd = rng.rand(seed)
                 seed = jnp.where(needs, seed2, seed)
-                keep = ~needs | (rnd <= opacity)
+                keep = ~needs | (rnd <= opacity[:, k])
                 col = jax.lax.broadcasted_iota(jnp.int32, (r, 4), 1) == k
                 geo_hit = geo_hit & (~col | keep[:, None])
 
@@ -225,6 +301,63 @@ def _traverse_wide(
     _, _, _, t_best, tri_best, u_best, v_best, seed, steps = out
     t_out = jnp.where(tri_best >= 0, t_best, INF)
     return Hit(t=t_out, tri=tri_best, u=u_best, v=v_best, steps=steps), seed
+
+
+def closest_hit_bundle(
+    bundle,
+    tri_material: jax.Array,
+    origin: jax.Array,
+    direction: jax.Array,
+    seed: Optional[jax.Array] = None,
+    alpha_ctx: Optional[AlphaCtx] = None,
+    active: Optional[jax.Array] = None,
+) -> tuple[Hit, jax.Array]:
+    """Closest hit over an :class:`~vk_raytrace_tpu.ops.bvh8.AccelBundle`:
+    opaque pass without alpha machinery, then the alpha BVH pruned by the
+    opaque hit distance (each alpha surface closer than the nearest opaque
+    hit gets its stochastic test, matching HitTest semantics)."""
+    hit_o, seed = closest_hit_wide(
+        bundle.opaque, tri_material, origin, direction,
+        seed=seed, alpha_ctx=None, active=active,
+    )
+    if bundle.alpha is None:
+        return hit_o, seed
+    hit_a, seed = _traverse_wide(
+        bundle.alpha, tri_material, origin, direction, hit_o.t, seed, alpha_ctx,
+        cull_backface=True, any_hit_mode=False, active_in=active,
+    )
+    take_a = hit_a.tri >= 0  # already < opaque t via t_max
+    return Hit(
+        t=jnp.where(take_a, hit_a.t, hit_o.t),
+        tri=jnp.where(take_a, hit_a.tri, hit_o.tri),
+        u=jnp.where(take_a, hit_a.u, hit_o.u),
+        v=jnp.where(take_a, hit_a.v, hit_o.v),
+        steps=hit_o.steps + hit_a.steps,
+    ), seed
+
+
+def any_hit_bundle(
+    bundle,
+    tri_material: jax.Array,
+    origin: jax.Array,
+    direction: jax.Array,
+    t_max: jax.Array,
+    seed: Optional[jax.Array] = None,
+    alpha_ctx: Optional[AlphaCtx] = None,
+    active: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    occ, seed = any_hit_wide(
+        bundle.opaque, tri_material, origin, direction, t_max,
+        seed=seed, alpha_ctx=None, active=active,
+    )
+    if bundle.alpha is None:
+        return occ, seed
+    still = active & ~occ if active is not None else ~occ
+    occ_a, seed = any_hit_wide(
+        bundle.alpha, tri_material, origin, direction, t_max,
+        seed=seed, alpha_ctx=alpha_ctx, active=still,
+    )
+    return occ | occ_a, seed
 
 
 def closest_hit_wide(

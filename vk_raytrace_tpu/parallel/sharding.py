@@ -29,7 +29,7 @@ from ..integrator.camera import generate_rays_for_pixels
 from ..integrator.path import sample_pixels
 from ..models.schema import RenderConfig, SceneData
 from ..ops import rng
-from ..ops.bvh8 import WideScene
+from ..ops.bvh8 import AccelBundle
 
 
 def make_mesh(devices=None, tile: Optional[int] = None, sample: Optional[int] = None) -> Mesh:
@@ -63,7 +63,7 @@ def shard_accum(mesh: Mesh, accum: jax.Array) -> jax.Array:
 def sharded_render_step(
     mesh: Mesh,
     scene: SceneData,
-    packed: WideScene,
+    packed: AccelBundle,
     cfg: RenderConfig,
     has_alpha: bool,
 ):

@@ -40,7 +40,7 @@ from .models.schema import (
 )
 from .ops import rng
 from .ops.bvh import build_bvh
-from .ops.bvh8 import WideScene, collapse_bvh8
+from .ops.bvh8 import AccelBundle, build_accel_bundle
 from .ops.tonemap import apply_post
 
 
@@ -75,10 +75,10 @@ def build_scene(
     )
 
 
-def pack_scene(bvh, geometry) -> WideScene:
-    """Build the traversal-ready 8-wide row table (host-side collapse of the
-    device-built binary LBVH; see ops/bvh8.py)."""
-    return collapse_bvh8(bvh, geometry)
+def pack_scene(bvh, geometry) -> AccelBundle:
+    """Build the traversal-ready acceleration bundle: 8-wide row tables with
+    opaque/alpha split (see ops/bvh8.py)."""
+    return build_accel_bundle(geometry, bvh_full=bvh)
 
 
 def scene_has_alpha(scene: SceneData) -> bool:
@@ -107,7 +107,7 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
 
 def render_strip_impl(
     scene: SceneData,
-    packed: WideScene,
+    packed: AccelBundle,
     cfg: RenderConfig,
     row0: jax.Array,    # () i32 first image row of this strip
     n_rows: int,        # static strip height
@@ -141,7 +141,7 @@ render_strip = functools.partial(
 
 def render_frame_impl(
     scene: SceneData,
-    packed: WideScene,
+    packed: AccelBundle,
     cfg: RenderConfig,
     accum: jax.Array,   # (H, W, 3) running mean
     frame: jax.Array,   # () i32
@@ -248,7 +248,7 @@ class Renderer:
         triangle / material / distance / position (RayPickerKHR analog)."""
         from .integrator.camera import generate_rays_for_pixels
         from .ops import rng as rngmod
-        from .ops.traverse_wide import closest_hit_wide
+        from .ops.traverse_wide import closest_hit_bundle
 
         pix = jnp.asarray([y * self.cfg.width + x], jnp.uint32)
         seed = rngmod.tea(pix, jnp.uint32(0))
@@ -256,7 +256,7 @@ class Renderer:
             self.scene.camera, self.cfg.width, self.cfg.height, pix,
             jnp.asarray(0, jnp.int32), seed,
         )
-        hit, _ = closest_hit_wide(
+        hit, _ = closest_hit_bundle(
             self.packed, self.scene.geometry.tri_material, o, d
         )
         tri = int(hit.tri[0])
