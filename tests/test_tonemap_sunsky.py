@@ -14,9 +14,11 @@ class TestTonemapCurves:
         y = np.asarray(tm.tonemap_uncharted(x))
         assert (np.diff(y[:, 0]) >= -1e-6).all()
         assert y.min() >= 0.0
-        # Exactly 1.0 at the white point W=11.2; inputs beyond exceed 1
-        # slightly (the reference clamps later in the post chain).
-        w = np.asarray(tm.tonemap_uncharted(jnp.full((1, 3), 11.2)))
+        # The curve applies a 2x exposure bias before normalizing by the
+        # W=11.2 white point (tonemapping.glsl:58-64), so output hits 1.0
+        # at input W/2; beyond that it slightly exceeds 1 until the post
+        # chain clamps (same as the reference).
+        w = np.asarray(tm.tonemap_uncharted(jnp.full((1, 3), 5.6)))
         assert abs(w[0, 0] - 1.0) < 1e-3
 
     def test_aces_bounded(self):
