@@ -41,7 +41,7 @@ def make_state(n, albedo=(0.8, 0.8, 0.8), metallic=0.0, roughness=0.5,
         clearcoat=ones * clearcoat,
         clearcoat_roughness=jnp.maximum(ones * 0.3, 0.001),
         sheen_color=jnp.broadcast_to(jnp.asarray([1.0, 1.0, 1.0]), (n, 3)) * sheen,
-        sheen_intensity=ones * sheen,
+        sheen_roughness=ones * sheen,
         specular=ones * 0.5,
         specular_tint=ones,
         subsurface=zeros,

@@ -17,6 +17,22 @@ from ..ops.math import normalize
 TWO_PI = 2.0 * jnp.pi
 
 
+def with_aspect(cam: Camera, width: int, height: int) -> Camera:
+    """Recompute the projection for the actual render aspect ratio.
+
+    The reference rebuilds proj from the window size every frame
+    (``scene.cpp:629-668``); a loaded glTF camera's aspectRatio would
+    otherwise stretch non-matching render sizes. For the standard
+    perspective inverse ``proj_inverse[1,1] = -tan(fov/2)`` is
+    aspect-invariant, so ``proj_inverse[0,0] = aspect * tan(fov/2)``
+    re-derives the x scale exactly."""
+    aspect = jnp.float32(width / height)
+    tan_half_fov = jnp.abs(cam.proj_inverse[1, 1])
+    return cam._replace(
+        proj_inverse=cam.proj_inverse.at[0, 0].set(aspect * tan_half_fov)
+    )
+
+
 def generate_rays(
     cam: Camera,
     width: int,

@@ -226,7 +226,7 @@ def resolve_material(
         clearcoat=clearcoat,
         clearcoat_roughness=ccr,
         sheen_color=m.sheen_color[mid],
-        sheen_intensity=m.sheen_intensity[mid],
+        sheen_roughness=m.sheen_roughness[mid],
         specular=jnp.full_like(metallic, 0.5),
         specular_tint=jnp.ones_like(metallic),
         subsurface=jnp.zeros_like(metallic),

@@ -239,13 +239,13 @@ def _import_material(gm: dict, tex_index) -> dict:
     row["clearcoat_roughness"] = cc.get("clearcoatRoughnessFactor", 0.0)
     row["clearcoat_texture"] = tex_index(cc.get("clearcoatTexture"))
     row["clearcoat_roughness_texture"] = tex_index(cc.get("clearcoatRoughnessTexture"))
+    # KHR_materials_sheen: the reference packs color.rgb + roughness into one
+    # RGBA8 (scene.cpp:375, host_device.h:176) and unpacks sheenTint = rgb,
+    # sheen = w (gltf_material.glsl:189-192) — i.e. the roughness factor acts
+    # as the sheen amount in the Disney lobe (pbr_disney.glsl:396).
     sh = ext.get("KHR_materials_sheen", {})
     row["sheen_color"] = sh.get("sheenColorFactor", [0, 0, 0])
-    row["sheen_intensity"] = sh.get("sheenRoughnessFactor", 0.0) and 1.0 or (
-        1.0 if sh else 0.0
-    )
-    if sh:
-        row["sheen_intensity"] = 1.0
+    row["sheen_roughness"] = sh.get("sheenRoughnessFactor", 0.0)
     es = ext.get("KHR_materials_emissive_strength", {})
     if es:
         row["emissive_factor"] = [

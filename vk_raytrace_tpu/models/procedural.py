@@ -164,7 +164,7 @@ def material_test_grid(n: int = 5):
             elif kind == 2:
                 m.update(metallic_factor=0.0, clearcoat_factor=1.0, clearcoat_roughness=max(0.03, t))
             elif kind == 3:
-                m.update(metallic_factor=0.0, sheen_color=[0.9, 0.9, 0.9], sheen_intensity=1.0)
+                m.update(metallic_factor=0.0, sheen_color=[0.9, 0.9, 0.9], sheen_roughness=1.0)
             else:
                 m.update(metallic_factor=0.0, transmission_factor=1.0, ior=1.5,
                          thickness_factor=1.0, attenuation_color=[0.9, 0.6, 0.6],

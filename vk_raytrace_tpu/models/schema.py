@@ -116,7 +116,7 @@ class Materials(NamedTuple):
     clearcoat_texture: jax.Array          # (M,)   i32
     clearcoat_roughness_texture: jax.Array# (M,)   i32
     sheen_color: jax.Array                # (M, 3) f32 (unpacked from RGBA8)
-    sheen_intensity: jax.Array            # (M,)   f32
+    sheen_roughness: jax.Array            # (M,)   f32
 
 
 class Lights(NamedTuple):
@@ -311,8 +311,12 @@ class RenderConfig:
     pbr_mode: int = PBR_DISNEY
     use_sun_sky: bool = False
     render_scale: int = 1          # descaling level (sample_example.cpp:410-415)
+    # Heatmap range: this renderer feeds accumulated traversal STEP counts
+    # (tens to a few hundred per path) into the temperature ramp, not the
+    # reference's shader-clock cycles (pathtrace.rgen:82-93, default 65000),
+    # so the default range is steps-scaled.
     min_heatmap: float = 0.0
-    max_heatmap: float = 65000.0
+    max_heatmap: float = 256.0
     use_any_hit: bool = True       # stochastic alpha during traversal
     rr: bool = True                # Russian roulette (pathtrace.glsl:27)
     rr_depth: int = 0
@@ -363,7 +367,7 @@ def make_materials(rows: list[dict]) -> Materials:
         clearcoat_texture=col("clearcoat_texture", -1, jnp.int32),
         clearcoat_roughness_texture=col("clearcoat_roughness_texture", -1, jnp.int32),
         sheen_color=col("sheen_color", [0, 0, 0], jnp.float32, (3,)),
-        sheen_intensity=col("sheen_intensity", 0.0, jnp.float32),
+        sheen_roughness=col("sheen_roughness", 0.0, jnp.float32),
     )
 
 

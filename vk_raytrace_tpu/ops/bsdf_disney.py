@@ -181,7 +181,7 @@ def _eval_diffuse(state, csheen, v, n, l, h):
     fh = _schlick_weight(dot(l, h))
     fd90 = 0.5 + 2.0 * dot(l, h) ** 2 * state.mat.roughness
     fd = mix(1.0, fd90, fl) * mix(1.0, fd90, fv)
-    fsheen = fh[..., None] * state.mat.sheen_intensity[..., None] * csheen
+    fsheen = fh[..., None] * state.mat.sheen_roughness[..., None] * csheen
     fr = (
         _1_PI * (fd * (1.0 - state.mat.subsurface))[..., None] * state.mat.albedo
         + fsheen

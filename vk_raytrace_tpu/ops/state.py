@@ -34,7 +34,7 @@ class MatState(NamedTuple):
     clearcoat: jax.Array             # (R,)
     clearcoat_roughness: jax.Array   # (R,)
     sheen_color: jax.Array           # (R, 3)  (sheenTint in the Disney path)
-    sheen_intensity: jax.Array       # (R,)
+    sheen_roughness: jax.Array       # (R,)
     # Disney-only constants in the reference (gltf_material.glsl:115-118)
     specular: jax.Array              # (R,) = 0.5
     specular_tint: jax.Array         # (R,) = 1.0

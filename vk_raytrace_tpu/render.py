@@ -193,6 +193,13 @@ class Renderer:
         tonemapper: Optional[Tonemapper] = None,
     ):
         self.cfg = cfg
+        # Reference recomputes proj from the window size every frame
+        # (scene.cpp:629-668); do the equivalent once per config.
+        from .integrator.camera import with_aspect
+
+        scene = scene._replace(
+            camera=with_aspect(scene.camera, cfg.width, cfg.height)
+        )
         self.scene, self._run_cfg = prepare_sun_sky(scene, cfg)
         self.tonemapper = tonemapper or default_tonemapper()
         self.packed = pack_scene(scene.bvh, scene.geometry)
