@@ -180,7 +180,9 @@ def main(argv=None) -> int:
             "materials": int(scene.materials.ior.shape[0]),
             "lights": int(scene.n_lights),
             "textures": int(scene.atlas.x.shape[0]),
-            "bvh_nodes": int(scene.bvh.left.shape[0]),
+            "bvh_nodes": (
+                int(scene.bvh.left.shape[0]) if scene.bvh is not None else 0
+            ),
             "devices": [str(d) for d in jax.devices()],
         }), file=sys.stderr)
 

@@ -34,7 +34,8 @@ LEAF_MAX = 4
 _INVALID_AABB = 3.0e38
 
 
-class WideScene(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class WideScene:
     """Traversal-ready unified row table (see module docstring).
 
     Row lanes for interior rows:
@@ -47,9 +48,53 @@ class WideScene(NamedTuple):
       [t*16 .. t*16+8]: p0, p1, p2
       [t*16+9 .. t*16+14]: uv0, uv1, uv2
       [t*16+15]: orig_tri_id*4 + flags (bit0 double-sided, bit1 alpha)
+
+    ``stack_depth`` is the exact worst-case per-ray traversal stack need of
+    THIS tree (static pytree aux data): the (R, stack_depth) stack array is
+    the traversal loop's largest memory-traffic item, so it is sized to the
+    tree instead of a universal worst case.
     """
 
-    rows: jax.Array  # (X, 64) f32
+    def __init__(self, rows: jax.Array, stack_depth: int = 32):
+        self.rows = rows  # (X, 64) f32
+        self.stack_depth = int(stack_depth)
+
+    def tree_flatten(self):
+        return (self.rows,), (self.stack_depth,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], stack_depth=aux[0])
+
+    def _replace(self, **kw):  # NamedTuple-compat helper
+        return WideScene(
+            kw.get("rows", self.rows), kw.get("stack_depth", self.stack_depth)
+        )
+
+
+def _stack_bound(rows: np.ndarray) -> int:
+    """Exact worst-case stack need: pushing a node's other hit children
+    costs (n_children - 1) entries that stay live while the deepest child
+    subtree runs, so need(node) = (n_children-1) + max(child needs)."""
+    n = len(rows)
+    need = np.zeros(n, np.int32)
+    # Iterative post-order; children always need computing before parents.
+    todo = [(0, False)]
+    while todo:
+        ref, ready = todo.pop()
+        if ref < 0:
+            continue  # leaf: need 0
+        row = rows[ref]
+        kids = [
+            int(row[48 + c]) for c in range(8) if row[c * 6] <= row[c * 6 + 3]
+        ]
+        if not ready:
+            todo.append((ref, True))
+            todo.extend((k, False) for k in kids if k >= 0)
+        else:
+            child_need = max((need[k] for k in kids if k >= 0), default=0)
+            need[ref] = max(len(kids) - 1, 0) + child_need
+    return max(int(need[0]), 1)
 
 
 def collapse_bvh8(
@@ -164,7 +209,7 @@ def collapse_bvh8(
     rows[:n_wide, 0:48] = aabb.reshape(n_wide, 48)
     rows[:n_wide, 48:56] = ref
 
-    return WideScene(rows=jnp.asarray(rows))
+    return WideScene(rows=jnp.asarray(rows), stack_depth=_stack_bound(rows))
 
 
 class AccelBundle(NamedTuple):
@@ -182,14 +227,37 @@ class AccelBundle(NamedTuple):
     alpha: WideScene | None
 
 
+def _wide_native(
+    geom: Geometry, tri_ids: np.ndarray | None = None
+) -> WideScene | None:
+    """Try the native (C++) binned-SAH builder; None -> caller falls back."""
+    from .. import runtime
+
+    rows = runtime.build_bvh8_rows(
+        np.asarray(geom.positions),
+        np.asarray(geom.indices),
+        np.asarray(geom.uv),
+        np.asarray(geom.tri_flags),
+        tri_ids=tri_ids,
+    )
+    if rows is None:
+        return None
+    return WideScene(rows=jnp.asarray(rows), stack_depth=_stack_bound(rows))
+
+
 def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBundle:
     """Split the scene by the per-triangle alpha flag and build the wide
-    structure(s). Reuses ``bvh_full`` when there is nothing to split."""
+    structure(s). Prefers the native SAH builder; falls back to the device
+    LBVH + host collapse (reusing ``bvh_full`` when there is nothing to
+    split)."""
     from .bvh import build_bvh
 
     flags = np.asarray(geom.tri_flags)
     alpha_mask = (flags & 2) != 0
     if not alpha_mask.any():
+        wide = _wide_native(geom)
+        if wide is not None:
+            return AccelBundle(opaque=wide, alpha=None)
         if bvh_full is None:
             bvh_full = build_bvh(geom.positions, geom.indices)
         return AccelBundle(opaque=collapse_bvh8(bvh_full, geom), alpha=None)
@@ -214,6 +282,10 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
 
     geo_o, ids_o = subset(~alpha_mask)
     geo_a, ids_a = subset(alpha_mask)
+    wide_o = _wide_native(geo_o, tri_ids=ids_o)
+    wide_a = _wide_native(geo_a, tri_ids=ids_a)
+    if wide_o is not None and wide_a is not None:
+        return AccelBundle(opaque=wide_o, alpha=wide_a)
     bvh_o = build_bvh(geo_o.positions, geo_o.indices)
     bvh_a = build_bvh(geo_a.positions, geo_a.indices)
     return AccelBundle(

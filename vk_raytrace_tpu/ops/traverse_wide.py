@@ -88,8 +88,9 @@ _SORT8_NETWORK = (
 
 def _sort8(keys: list, payloads: list) -> tuple[list, list]:
     """Sort 8 (R,) key columns ascending, moving payload columns with them.
-    Stable on ties (no swap when equal). Everything is elementwise min/max/
-    select — no reductions, fully fusable."""
+    Not stable on ties (irrelevant for traversal: equal-distance children
+    may be visited in any order). Everything is elementwise compare/select —
+    no reductions, fully fusable."""
     keys = list(keys)
     payloads = [list(p) for p in payloads]
     for i, j in _SORT8_NETWORK:
@@ -133,7 +134,10 @@ def _traverse_wide(
 
     with_alpha = alpha_ctx is not None
     alpha_pack = make_alpha_pack(alpha_ctx) if with_alpha else None
-    lane_d = jax.lax.broadcasted_iota(jnp.int32, (1, STACK_DEPTH), 1)
+    # Stack sized to THIS tree's exact worst case (ops/bvh8.py::_stack_bound)
+    # — the (R, D) stack is the loop's dominant elementwise traffic.
+    stack_depth = min(getattr(wide, "stack_depth", STACK_DEPTH), 2 * STACK_DEPTH)
+    lane_d = jax.lax.broadcasted_iota(jnp.int32, (1, stack_depth), 1)
 
     def body(state, origin, direction, inv_d):
         cur, depth, stack, t_best, tri_best, u_best, v_best, seed, steps = state
@@ -199,8 +203,8 @@ def _traverse_wide(
 
         # Stack lane p receives sorted child (n_valid - 1 - (p - depth)):
         # farthest lands deepest so pops come near-first. Lanes past
-        # STACK_DEPTH simply don't exist (rare overflow drops the nearest
-        # children, as before).
+        # the stack simply don't exist (with the exact bound this cannot
+        # drop pushes; the clamp is belt-and-braces).
         j = lane_d - depth[:, None]                     # (R, D)
         k = (n_valid - 1)[:, None] - j
         val = jnp.zeros_like(stack, dtype=jnp.float32)
@@ -210,7 +214,7 @@ def _traverse_wide(
         push_sel = do_push[:, None] & (j >= 0) & (k >= 1)
         new_stack = jnp.where(push_sel, val.astype(jnp.int32), stack)
         n_push = jnp.where(do_push, n_valid - 1, 0)
-        new_depth = jnp.minimum(depth + n_push, STACK_DEPTH)
+        new_depth = jnp.minimum(depth + n_push, stack_depth)
 
         # ---------------- leaf: 4-triangle intersection -------------------
         # Componentwise Möller–Trumbore over the 4 packed triangles; all
@@ -334,6 +338,10 @@ def _traverse_wide(
         v_best = jnp.where(upd, b_v, v_best)
 
         # ---------------- next node --------------------------------------
+        # A lane either pushed (interior with a hit child) or may pop
+        # (childless interior / leaf) — never both, so the pop can read the
+        # PRE-push stack at the pre-push depth: one pass over the stack
+        # array serves both the push-write and the pop-read.
         next_cur = jnp.where(is_wide & has_child, near_ref, TERM)
         need_pop = active & ((is_wide & ~has_child) | is_leaf)
         if any_hit_mode:
@@ -341,9 +349,9 @@ def _traverse_wide(
             need_pop = need_pop & ~found
             next_cur = jnp.where(found, TERM, next_cur)
 
-        can_pop = need_pop & (new_depth > 0)
+        can_pop = need_pop & (depth > 0)
         top = jnp.sum(
-            jnp.where(lane_d == (new_depth - 1)[:, None], new_stack, 0), axis=1
+            jnp.where(lane_d == (depth - 1)[:, None], stack, 0), axis=1
         )
         next_cur = jnp.where(can_pop, top, next_cur)
         new_depth = new_depth - can_pop.astype(jnp.int32)
@@ -354,15 +362,21 @@ def _traverse_wide(
             u_best, v_best, seed, steps,
         )
 
+    # Small chunks bound the minimum work per while-loop pass: shallow trees
+    # (the alpha BVH is often ~100 rows) finish in a few steps and must not
+    # be forced through a long unrolled scan; deep batches amortize the
+    # per-chunk cond reduction over more steps.
+    chunk_len = 4 if n_rows < 1024 else 8
+
     def run_phase(state, o, d, invd, live_floor):
-        """Run 16-step chunks until fewer than ``live_floor`` rays remain
-        unfinished (0 = drain completely)."""
+        """Run chunk_len-step chunks until fewer than ``live_floor`` rays
+        remain unfinished (0 = drain completely)."""
 
         def chunk(s):
             def sbody(ss, _):
                 return body(ss, o, d, invd), None
 
-            s, _ = jax.lax.scan(sbody, s, None, length=_CHUNK)
+            s, _ = jax.lax.scan(sbody, s, None, length=chunk_len)
             return s
 
         if live_floor <= 0:
@@ -396,7 +410,7 @@ def _traverse_wide(
     state = (
         cur0,
         jnp.zeros((r,), jnp.int32),
-        jnp.zeros((r, STACK_DEPTH), jnp.int32),
+        jnp.zeros((r, stack_depth), jnp.int32),
         t_max,
         jnp.full((r,), -1, jnp.int32),
         jnp.zeros((r,), jnp.float32),
@@ -405,21 +419,27 @@ def _traverse_wide(
         jnp.zeros((r,), jnp.int32),
     )
 
-    # Traversal step counts are long-tailed (measured mean 13 vs max 57):
-    # running the whole batch until the LAST ray finishes wastes most lanes.
-    # Phase the loop: full batch until <=1/4 survive, compact survivors into
-    # a 4x smaller buffer, run until <=1/16 survive, compact again, drain.
-    # Each phase boundary costs one cumsum + a dozen small gathers; each
-    # avoided full-batch chunk saves a full row-gather + stack pass.
+    # Traversal step counts are long-tailed (measured mean ~14 vs max ~27 on
+    # the SAH tree): running the whole batch until the LAST ray finishes
+    # wastes most lanes. Phase the loop: full batch until <=1/4 survive,
+    # compact survivors into a 4x smaller buffer, and repeat down to 1/64,
+    # then drain. Each phase boundary costs one cumsum + a dozen small
+    # gathers; each avoided full-batch chunk saves chunk_len row-gather +
+    # stack passes.
     if r >= 1 << 15:
-        sizes = [max(1 << 12, (r // 4 + 127) & ~127), max(1 << 10, (r // 16 + 127) & ~127)]
-        state = run_phase(state, origin, direction, inv_d, sizes[0])
-        sub, o1, d1, i1, idx1 = compact(state, origin, direction, inv_d, sizes[0])
-        sub = run_phase(sub, o1, d1, i1, sizes[1])
-        sub2, o2, d2, i2, idx2 = compact(sub, o1, d1, i1, sizes[1])
-        sub2 = run_phase(sub2, o2, d2, i2, 0)
-        sub = merge(sub, sub2, idx2)
-        state = merge(state, sub, idx1)
+        o_c, d_c, i_c = origin, direction, inv_d
+        merges = []
+        cur_state = state
+        for div in (4, 16, 64):
+            size = max(1 << 10, (r // div + 127) & ~127)
+            cur_state = run_phase(cur_state, o_c, d_c, i_c, size)
+            sub, o_c, d_c, i_c, idx = compact(cur_state, o_c, d_c, i_c, size)
+            merges.append((cur_state, idx))
+            cur_state = sub
+        cur_state = run_phase(cur_state, o_c, d_c, i_c, 0)
+        for outer, idx in reversed(merges):
+            cur_state = merge(outer, cur_state, idx)
+        state = cur_state
     else:
         state = run_phase(state, origin, direction, inv_d, 0)
 

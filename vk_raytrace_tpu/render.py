@@ -54,9 +54,23 @@ def build_scene(
     sun_sky: Optional[SunSky] = None,
     atlas: Optional[TextureAtlas] = None,
     n_lights: Optional[int] = None,
+    binary_bvh: Optional[bool] = None,
 ) -> SceneData:
-    """Assemble a renderable SceneData (builds the LBVH on device)."""
-    bvh = build_bvh(geometry.positions, geometry.indices)
+    """Assemble a renderable SceneData.
+
+    ``binary_bvh``: build the binary LBVH (``scene.bvh``) used by the
+    cross-check traversal back end (``ops/traverse.py``) and the node-count
+    stats. Default (None): only when the native wide-BVH builder is
+    unavailable, since production traversal then needs it for the collapse
+    fallback. The LBVH program runs on the CPU backend — scene build should
+    never pay a TPU tunnel compile (reference builds are driver-side,
+    accelstruct.cpp:110-162).
+    """
+    if binary_bvh is None:
+        from . import runtime
+
+        binary_bvh = not runtime.available()
+    bvh = _build_binary_bvh_cpu(geometry) if binary_bvh else None
     if n_lights is None:
         # make_lights pads empty tables with one zero-intensity dummy row
         n_lights = int(
@@ -73,6 +87,20 @@ def build_scene(
         sun_sky=sun_sky if sun_sky is not None else default_sun_sky(),
         bvh=bvh,
     )
+
+
+def _build_binary_bvh_cpu(geometry: Geometry):
+    """Run the jitted LBVH build on the CPU backend and return uncommitted
+    arrays (safe to feed into TPU-jitted functions)."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return build_bvh(geometry.positions, geometry.indices)
+    pos = jnp.asarray(np.asarray(geometry.positions))
+    idx = jnp.asarray(np.asarray(geometry.indices))
+    with jax.default_device(cpu):
+        bvh = build_bvh(pos, idx)
+    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), bvh)
 
 
 def pack_scene(bvh, geometry) -> AccelBundle:
@@ -98,8 +126,21 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
     from .models.hdr import build_environment
     from .ops.sunsky import bake_environment
 
-    img = bake_environment(scene.sun_sky)
-    env = build_environment(img)
+    # Bake + alias build run on the CPU backend: these are scene-build
+    # programs whose one-off TPU tunnel compile (minutes when the persistent
+    # cache is cold) would otherwise dominate build time.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            img = bake_environment(scene.sun_sky)
+            env = build_environment(img)
+        env = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), env)
+    else:
+        img = bake_environment(scene.sun_sky)
+        env = build_environment(img)
     scene = scene._replace(env=env)
     cfg = dataclasses.replace(cfg, use_sun_sky=False)
     return scene, cfg

@@ -53,6 +53,7 @@ def _load():
         lib = ctypes.CDLL(_LIB)
         lib.rgbe_decode.restype = ctypes.c_int
         lib.alias_table_build.restype = ctypes.c_float
+        lib.build_bvh8.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = False
@@ -179,6 +180,50 @@ def alias_table_seq(importance: np.ndarray):
             large += 1
         s += 1
     return q.astype(np.float32), alias, total
+
+
+def build_bvh8_rows(
+    positions: np.ndarray,
+    indices: np.ndarray,
+    uv: np.ndarray,
+    tri_flags: np.ndarray,
+    tri_ids: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Native top-down binned-SAH build of the 8-wide traversal rows
+    (`ops/bvh8.py::WideScene` layout). Returns (n_rows, 64) f32, or None when
+    the native library is unavailable (caller falls back to the device LBVH +
+    host collapse path).
+
+    The reference builds its BLAS/TLAS natively through the Vulkan driver
+    (``accelstruct.cpp:110-162``); this is the host-native equivalent — no
+    XLA compile cost, and SAH trees trace faster than Morton LBVH.
+    """
+    lib = _load()
+    if not lib:
+        return None
+    positions = np.ascontiguousarray(positions, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    uv = np.ascontiguousarray(uv, np.float32)
+    tri_flags = np.ascontiguousarray(tri_flags, np.int32)
+    t = len(indices)
+    ids_arg = None
+    max_orig = t - 1
+    if tri_ids is not None:
+        tri_ids = np.ascontiguousarray(tri_ids, np.int32)
+        ids_arg = _ptr(tri_ids)
+        max_orig = int(tri_ids.max(initial=0))
+    assert max_orig * 4 + 3 < 2**24, "too many triangles for exact-f32 ids"
+    for max_rows in (t + t // 3 + 16, 2 * t + 8):
+        rows = np.empty((max_rows, 64), np.float32)
+        n = lib.build_bvh8(
+            _ptr(positions), _ptr(indices), _ptr(uv), ids_arg,
+            _ptr(tri_flags), ctypes.c_int64(t), _ptr(rows),
+            ctypes.c_int64(max_rows),
+        )
+        if n > 0:
+            assert n * 4 + 4 < 2**23, "scene too large for exact-f32 refs"
+            return np.ascontiguousarray(rows[:n])
+    return None
 
 
 def pack_rgba8(colors: np.ndarray) -> np.ndarray:
