@@ -1,0 +1,335 @@
+"""Pooled wavefront integrator with ray regeneration.
+
+The production render loop: a fixed pool of lanes traces paths, and any lane
+whose path terminates (environment miss, Russian roulette, zero pdf, max
+depth) immediately *regenerates* into the next unprocessed (pixel, sample)
+unit of the frame. The wavefront therefore stays dense for the whole frame
+instead of decaying with bounce depth — the stream-compaction design the
+reference reserved a binding for but never built (``S_WF`` "Wavefront extra
+data", ``host_device.h:58``; SURVEY.md §7 step 9).
+
+Integrator semantics are clause-for-clause those of
+:mod:`vk_raytrace_tpu.integrator.path` (the unrolled reference
+implementation, kept for debug modes and cross-checks — see
+``tests/test_wavefront.py`` for the parity gate); the only differences are
+scheduling:
+
+* bounce depth is a per-lane counter, not a Python loop index (Russian
+  roulette's ``depth >= rr_depth`` gate becomes a lane mask);
+* per-path radiance is scatter-added into the output image when the path
+  dies (one scatter per loop iteration, out-of-range indices dropped);
+* lanes draw new (pixel, sample) units from a shared allocation counter via
+  an exclusive prefix-sum of the dead mask.
+
+Determinism: a path's RNG stream is ``tea(pixel, frame*spp + sample)``
+exactly as in ``render.py::render_strip_impl`` — lane scheduling changes
+only the floating-point accumulation order, never the estimator.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.schema import PBR_DISNEY, RenderConfig, SceneData
+from ..ops import rng
+from ..ops import traverse_wide
+from ..ops.bsdf_disney import disney_eval, disney_sample
+from ..ops.bsdf_gltf import pbr_eval, pbr_sample
+from ..ops.bvh8 import AccelBundle
+from ..ops.env import env_radiance, env_sample
+from ..ops.lights import sample_light
+from ..ops.math import dot, firefly_luminance, offset_ray, power_heuristic
+from ..ops.traverse import AlphaCtx
+from .camera import generate_rays_for_pixels
+from .shade import get_shade_state, resolve_material
+
+
+class PoolState(NamedTuple):
+    pix: jax.Array          # (P,) u32 absolute pixel id of the lane's unit
+    origin: jax.Array       # (P, 3)
+    direction: jax.Array    # (P, 3)
+    radiance: jax.Array     # (P, 3) current path's accumulated radiance
+    throughput: jax.Array   # (P, 3)
+    absorption: jax.Array   # (P, 3)
+    seed: jax.Array         # (P,) u32
+    depth: jax.Array        # (P,) i32 bounces completed on current path
+    active: jax.Array       # (P,) bool
+    next_unit: jax.Array    # ()  i32 units allocated so far
+    out: jax.Array          # (N, 3) scatter-add accumulation (pixel-local)
+    steps: jax.Array        # (N,) i32 traversal steps per pixel (heatmap/stats)
+    rays: jax.Array         # ()  i32 total rays traced (honest bench count)
+
+
+def render_units_pooled(
+    scene: SceneData,
+    packed: AccelBundle,
+    cfg: RenderConfig,
+    frame: jax.Array,       # () i32
+    has_alpha: bool,
+    pix0: jax.Array,        # () i32 first pixel of the slice
+    n_pix: int,             # static slice size
+    pool: int,              # static lane-pool size
+):
+    """Trace ``n_pix * cfg.max_samples`` paths; returns
+    ``(radiance_mean (n_pix, 3), steps (n_pix,), rays ())``."""
+    w, h = cfg.width, cfg.height
+    spp = cfg.max_samples
+    total_units = n_pix * spp
+
+    alpha_ctx = (
+        AlphaCtx(materials=scene.materials, atlas=scene.atlas)
+        if (has_alpha and cfg.use_any_hit)
+        else None
+    )
+    p_select_light = 0.5 if cfg.hdr_multiplier > 0.0 else 1.0
+    hdr_mult = jnp.float32(cfg.hdr_multiplier)
+    clamp = jnp.float32(cfg.firefly_clamp)
+
+    def regenerate(st: PoolState) -> PoolState:
+        """Dead lanes claim the next unclaimed (pixel, sample) units."""
+        dead = ~st.active
+        remaining = total_units - st.next_unit
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+        unit = st.next_unit + rank
+        granted = dead & (unit < total_units)
+        n_granted = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), remaining)
+
+        upix = pix0.astype(jnp.uint32) + (unit // spp).astype(jnp.uint32)
+        usamp = (unit % spp).astype(jnp.uint32)
+        seed_new = rng.tea(
+            upix, frame.astype(jnp.uint32) * spp + usamp
+        )
+        o, d, seed_new = generate_rays_for_pixels(
+            scene.camera, w, h, upix, frame, seed_new
+        )
+        g3 = granted[:, None]
+        return st._replace(
+            pix=jnp.where(granted, upix, st.pix),
+            origin=jnp.where(g3, o, st.origin),
+            direction=jnp.where(g3, d, st.direction),
+            radiance=jnp.where(g3, 0.0, st.radiance),
+            throughput=jnp.where(g3, 1.0, st.throughput),
+            absorption=jnp.where(g3, 0.0, st.absorption),
+            seed=jnp.where(granted, seed_new, st.seed),
+            depth=jnp.where(granted, 0, st.depth),
+            active=st.active | granted,
+            next_unit=st.next_unit + n_granted,
+        )
+
+    def bounce(st: PoolState) -> PoolState:
+        """One bounce for every active lane — semantics of
+        ``integrator/path.py::trace_paths.bounce`` with a per-lane depth."""
+        hit, seed = traverse_wide.closest_hit_bundle(
+            packed,
+            scene.geometry.tri_material,
+            st.origin,
+            st.direction,
+            seed=st.seed,
+            alpha_ctx=alpha_ctx,
+            active=st.active,
+        )
+        rays = st.rays + jnp.sum(st.active.astype(jnp.int32))
+
+        # ---- Environment miss (pathtrace.glsl:203-228) -------------------
+        miss = st.active & (hit.tri < 0)
+        env = env_radiance(
+            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, st.direction
+        )
+        radiance = st.radiance + jnp.where(
+            miss[..., None], env * st.throughput, 0.0
+        )
+        alive = st.active & ~miss
+
+        # ---- Shade state + material (pathtrace.glsl:231-252) -------------
+        ss = get_shade_state(scene.geometry, hit.tri, hit.u, hit.v)
+        state = resolve_material(ss, scene.materials, scene.atlas, st.direction)
+
+        # ---- Unlit shortcut (pathtrace.glsl:258-262) ---------------------
+        unlit = alive & state.mat.unlit
+        radiance = radiance + jnp.where(
+            unlit[..., None], state.mat.albedo * st.throughput, 0.0
+        )
+        alive = alive & ~unlit
+
+        # ---- Absorption + emission (pathtrace.glsl:264-274) --------------
+        exiting = dot(state.normal, state.ffnormal) > 0.0
+        absorption = jnp.where(exiting[..., None], 0.0, st.absorption)
+        radiance = radiance + jnp.where(
+            alive[..., None], state.mat.emission * st.throughput, 0.0
+        )
+        throughput = st.throughput * jnp.where(
+            alive[..., None],
+            jnp.exp(-absorption * jnp.minimum(hit.t, 1e30)[..., None]),
+            1.0,
+        )
+
+        # ---- Direct light (NEE) (pathtrace.glsl:97-188) ------------------
+        v_dir = -st.direction
+        seed, u_sel = rng.rand(seed)
+        use_light = (scene.n_lights > 0) & (u_sel <= p_select_light)
+
+        seed, u_li = rng.rand(seed)
+        n_l = jnp.maximum(scene.n_lights, 1)
+        light_index = jnp.minimum(
+            (u_li * n_l.astype(jnp.float32)).astype(jnp.int32), n_l - 1
+        )
+        l_int, l_dir, l_dist = sample_light(
+            scene.lights, light_index, state.position
+        )
+        e_rad, e_dir, e_pdf, seed = env_sample(
+            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, seed
+        )
+
+        light_contrib = jnp.where(use_light[..., None], l_int, e_rad)
+        light_dir = jnp.where(use_light[..., None], l_dir, e_dir)
+        light_dist = jnp.where(use_light, l_dist, 1e32)
+        light_pdf = jnp.where(use_light, 1.0, e_pdf)
+
+        f_l, pdf_l = _eval_bsdf(cfg, state, v_dir, state.ffnormal, light_dir)
+        mis = jnp.where(
+            use_light, 1.0, jnp.maximum(0.0, power_heuristic(light_pdf, pdf_l))
+        )
+        nee = (
+            mis[..., None]
+            * f_l
+            * jnp.abs(dot(light_dir, state.ffnormal))[..., None]
+            * light_contrib
+            / jnp.maximum(light_pdf, 1e-9)[..., None]
+        )
+        visible = alive & (dot(light_dir, state.ffnormal) > 0.0)
+        nee = nee * throughput  # pre-BSDF-update throughput (:278)
+
+        # ---- BSDF sampling (pathtrace.glsl:281-296) ----------------------
+        f_b, l_b, pdf_b, seed = _sample_bsdf(
+            cfg, state, v_dir, state.ffnormal, seed
+        )
+
+        entering = dot(state.ffnormal, l_b) < 0.0
+        new_abs = -jnp.log(
+            jnp.clip(state.mat.attenuation_color, 1e-6, 1.0)
+        ) / jnp.maximum(state.mat.attenuation_distance, 1e-9)[..., None]
+        absorption = jnp.where((alive & entering)[..., None], new_abs, absorption)
+
+        pdf_ok = pdf_b > 0.0
+        throughput = jnp.where(
+            (alive & pdf_ok)[..., None],
+            throughput
+            * f_b
+            * jnp.abs(dot(state.ffnormal, l_b))[..., None]
+            / jnp.maximum(pdf_b, 1e-20)[..., None],
+            throughput,
+        )
+        alive = alive & pdf_ok
+
+        # ---- Russian roulette continuation prob (:309-314) ---------------
+        max_thr = jnp.max(throughput, axis=-1)
+        rr_pcont = jnp.minimum(max_thr * state.eta * state.eta + 0.001, 0.95)
+        # Per-lane depth gate replaces the unrolled loop's static branch.
+        rr_on = cfg.rr and True
+        rr_gate = st.depth >= cfg.rr_depth if rr_on else jnp.zeros_like(alive)
+        rr_pcont = jnp.where(rr_gate, rr_pcont, 1.0)
+
+        # ---- Next ray (:316-318) -----------------------------------------
+        going_out = dot(l_b, state.ffnormal) > 0.0
+        off_n = jnp.where(going_out[..., None], state.ffnormal, -state.ffnormal)
+        new_origin = offset_ray(state.position, off_n)
+        new_origin = jnp.where(alive[..., None], new_origin, st.origin)
+        new_dir = jnp.where(alive[..., None], l_b, st.direction)
+
+        # ---- Deferred shadow ray (:320-331) ------------------------------
+        occluded, seed = traverse_wide.any_hit_bundle(
+            packed,
+            scene.geometry.tri_material,
+            new_origin,
+            light_dir,
+            light_dist,
+            seed=seed,
+            alpha_ctx=alpha_ctx,
+            active=visible,
+        )
+        radiance = radiance + jnp.where(
+            (visible & ~occluded)[..., None], nee, 0.0
+        )
+        rays = rays + jnp.sum(visible.astype(jnp.int32))
+
+        # ---- Russian roulette termination (:334-338) ---------------------
+        seed, u_rr = rng.rand(seed)
+        if rr_on:
+            rr_kill = rr_gate & (u_rr >= rr_pcont)
+            alive = alive & ~rr_kill
+            throughput = jnp.where(
+                alive[..., None],
+                throughput / jnp.maximum(rr_pcont, 1e-9)[..., None],
+                throughput,
+            )
+
+        depth = st.depth + st.active.astype(jnp.int32)
+        alive = alive & (depth < cfg.max_depth)
+
+        # ---- Path termination: clamp + scatter into the image ------------
+        died = st.active & ~alive
+        lum = firefly_luminance(radiance)
+        scale = jnp.where(lum > clamp, clamp / jnp.maximum(lum, 1e-20), 1.0)
+        contrib = radiance * scale[..., None]
+        local = st.pix.astype(jnp.int32) - pix0
+        target = jnp.where(died, local, n_pix)  # n_pix = dropped
+        out = st.out.at[target].add(contrib, mode="drop")
+        # Traversal steps accumulate per pixel every bounce (stats/heatmap).
+        step_target = jnp.where(st.active, local, n_pix)
+        steps = st.steps.at[step_target].add(hit.steps, mode="drop")
+        return st._replace(
+            origin=new_origin,
+            direction=new_dir,
+            radiance=radiance,
+            throughput=throughput,
+            absorption=absorption,
+            seed=seed,
+            depth=depth,
+            active=alive,
+            out=out,
+            steps=steps,
+            rays=rays,
+        )
+
+    def iteration(st: PoolState) -> PoolState:
+        return bounce(regenerate(st))
+
+    def cond(st: PoolState) -> jax.Array:
+        return (st.next_unit < total_units) | jnp.any(st.active)
+
+    p = pool
+    z3 = jnp.zeros((p, 3), jnp.float32)
+    st0 = PoolState(
+        pix=jnp.zeros((p,), jnp.uint32),
+        origin=z3,
+        direction=z3.at[:, 2].set(1.0),
+        radiance=z3,
+        throughput=z3,
+        absorption=z3,
+        seed=jnp.zeros((p,), jnp.uint32),
+        depth=jnp.zeros((p,), jnp.int32),
+        active=jnp.zeros((p,), bool),
+        next_unit=jnp.asarray(0, jnp.int32),
+        out=jnp.zeros((n_pix, 3), jnp.float32),
+        steps=jnp.zeros((n_pix,), jnp.int32),
+        rays=jnp.asarray(0, jnp.int32),
+    )
+    st = jax.lax.while_loop(cond, iteration, st0)
+    return st.out / jnp.float32(spp), st.steps, st.rays
+
+
+def _eval_bsdf(cfg: RenderConfig, state, v, n, l):
+    if cfg.pbr_mode == PBR_DISNEY:
+        return disney_eval(state, v, n, l)
+    return pbr_eval(state, v, n, l)
+
+
+def _sample_bsdf(cfg: RenderConfig, state, v, n, seed):
+    if cfg.pbr_mode == PBR_DISNEY:
+        f, l, pdf, _is_ss, seed = disney_sample(state, v, n, seed)
+        return f, l, pdf, seed
+    f, l, pdf, seed = pbr_sample(state, v, n, seed)
+    return f, l, pdf, seed

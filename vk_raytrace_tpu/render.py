@@ -180,6 +180,24 @@ render_strip = functools.partial(
 )(render_strip_impl)
 
 
+def render_pool_impl(scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool):
+    from .integrator.wavefront import render_units_pooled
+
+    return render_units_pooled(
+        scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool
+    )
+
+
+render_pool = functools.partial(
+    jax.jit, static_argnames=("cfg", "has_alpha", "n_pix", "pool")
+)(render_pool_impl)
+
+# Pooled-dispatch sizing: paths per device program (watchdog bound) and the
+# lane-pool width (VMEM/HBM state is ~200 B/lane + the traversal stack).
+MAX_PATHS_PER_DISPATCH = 1 << 21
+POOL_LANES = 1 << 19
+
+
 def render_frame_impl(
     scene: SceneData,
     packed: AccelBundle,
@@ -256,12 +274,48 @@ class Renderer:
     def step(self) -> None:
         """Render one progressive frame into the accumulation buffer.
 
-        Dispatches watchdog-safe row strips (one compiled executable reused
-        for every strip) and blends the assembled frame into the running
-        mean (pathtrace.rgen:96-107)."""
+        Production path: the pooled wavefront with ray regeneration
+        (``integrator/wavefront.py``), sliced into watchdog-safe dispatches.
+        Debug render modes use the unrolled per-depth integrator, which
+        carries the first-hit debug machinery. The assembled frame blends
+        into the running mean (pathtrace.rgen:96-107)."""
+        from .models.schema import DEBUG_NONE
+
+        h, w = self.cfg.height, self.cfg.width
+        frame = jnp.asarray(self.frame, jnp.int32)
+        if self._run_cfg.debug_mode == DEBUG_NONE:
+            new = self._frame_pooled(frame)
+        else:
+            new = self._frame_strips(frame)
+        a = 1.0 / (self.frame + 1.0)
+        self.accum = self.accum + (new - self.accum) * a
+        self.frame += 1
+
+    def _frame_pooled(self, frame) -> jax.Array:
+        h, w = self.cfg.height, self.cfg.width
+        cfg = self._run_cfg
+        total_px = h * w
+        px_per_dispatch = max(1, MAX_PATHS_PER_DISPATCH // max(cfg.max_samples, 1))
+        n = max(1, -(-total_px // px_per_dispatch))
+        while total_px % n:
+            n += 1
+        n_pix = total_px // n
+        pool = min(POOL_LANES, max(1024, n_pix * cfg.max_samples))
+        self.last_rays = 0
+        parts = []
+        for i in range(n):
+            out, steps, rays = render_pool(
+                self.scene, self.packed, cfg, frame, self.has_alpha,
+                jnp.asarray(i * n_pix, jnp.int32), n_pix, pool,
+            )
+            parts.append(out)
+            self.last_rays += int(rays)
+        img = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        return img.reshape(h, w, 3)
+
+    def _frame_strips(self, frame) -> jax.Array:
         h, w = self.cfg.height, self.cfg.width
         rows = strip_rows_for(self.cfg)
-        frame = jnp.asarray(self.frame, jnp.int32)
         strips = []
         for row0 in range(0, h, rows):
             strips.append(
@@ -270,10 +324,7 @@ class Renderer:
                     jnp.asarray(row0, jnp.int32), rows, frame, self.has_alpha,
                 )
             )
-        new = jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
-        a = 1.0 / (self.frame + 1.0)
-        self.accum = self.accum + (new - self.accum) * a
-        self.frame += 1
+        return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
 
     def render(self, frames: int = 1) -> np.ndarray:
         """Accumulate ``frames`` progressive frames and return the
