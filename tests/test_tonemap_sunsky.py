@@ -80,6 +80,52 @@ class TestPostChain:
         gap_plain = abs(dim0.mean() - bright0.mean())
         assert gap_ae < gap_plain
 
+    def test_local_exposure_runs_and_bounded(self):
+        """Local adaptation (post.frag:72-95, auto_exposure bit 1) produces
+        an in-range image that differs from the global operator on a
+        high-contrast scene."""
+        base = self._img()
+        # add a hot spot so the local operator has contrast to adapt to
+        img = base.at[4:8, 4:8].set(200.0)
+        t_loc = default_tonemapper()._replace(
+            auto_exposure=jnp.int32(3), dither=jnp.int32(0)
+        )
+        t_glob = default_tonemapper()._replace(
+            auto_exposure=jnp.int32(1), dither=jnp.int32(0)
+        )
+        loc = np.asarray(tm.apply_post(img, t_loc))
+        glob = np.asarray(tm.apply_post(img, t_glob))
+        assert np.isfinite(loc).all()
+        assert loc.min() >= 0.0 and loc.max() <= 1.0
+        assert not np.allclose(loc, glob)
+
+    def test_local_exposure_flat_field_matches_global_shape(self):
+        """On a constant image every mip level is identical, so the local
+        operator reduces to adapting to the global luminance — output must
+        be a constant image too (chromaticity preserved)."""
+        img = jnp.broadcast_to(jnp.asarray([0.8, 0.4, 0.2]), (16, 16, 3))
+        mips = tm.luminance_pyramid(img)
+        out = np.asarray(
+            tm.tone_local_exposure(img, jnp.float32(0.5), 0.5, 0.5, mips)
+        )
+        assert np.allclose(out, out[0, 0], atol=1e-5)
+        ratio = out[0, 0] / np.asarray([0.8, 0.4, 0.2])
+        assert np.allclose(ratio, ratio[0], rtol=1e-4)
+
+    def test_manual_exposure_multiplies(self):
+        """`avg_lum` is toneMap's exposure multiplier (tonemapping.glsl:86-88):
+        larger value -> brighter output."""
+        img = jnp.full((8, 8, 3), 0.25)
+        t_lo = default_tonemapper()._replace(
+            avg_lum=jnp.float32(0.5), dither=jnp.int32(0)
+        )
+        t_hi = default_tonemapper()._replace(
+            avg_lum=jnp.float32(2.0), dither=jnp.int32(0)
+        )
+        lo = np.asarray(tm.apply_post(img, t_lo))
+        hi = np.asarray(tm.apply_post(img, t_hi))
+        assert hi.mean() > lo.mean()
+
 
 class TestSunSky:
     def test_sky_brighter_toward_sun(self):

@@ -65,6 +65,9 @@ def tone_map(color, exposure, mode: int = TM_UNCHARTED):
 
 
 _RGB2Y = jnp.asarray([0.2126, 0.7152, 0.0722])
+# Y row of the RGB->XYZ matrix (post.frag:56): the reference normalizes by
+# the *XYZ luminance channel* rather than the Rec.709 luma above.
+_XYZ_Y = jnp.asarray([0.2126729, 0.7151522, 0.0721750])
 
 
 def _lum(c):
@@ -72,11 +75,54 @@ def _lum(c):
 
 
 def tone_exposure(rgb, log_avg_lum, key, ywhite):
-    """Reinhard-style photographic exposure (post.frag:64-70)."""
-    y = (key / jnp.maximum(log_avg_lum, 1e-9)) * _lum(rgb)
+    """Reinhard-style photographic exposure (post.frag:62-70): scale the
+    XYZ Y channel through the global operator, preserve chromaticity."""
+    yc = jnp.sum(rgb * _XYZ_Y, axis=-1)
+    y = (key / jnp.maximum(log_avg_lum, 1e-9)) * yc
     yd = (y * (1.0 + y / (ywhite * ywhite))) / (1.0 + y)
-    scale = yd / jnp.maximum(_lum(rgb), 1e-9)
+    scale = yd / jnp.maximum(yc, 1e-9)
     return rgb * scale[..., None]
+
+
+def luminance_pyramid(rgb, levels: int = 8) -> list[jax.Array]:
+    """Mip chain of the image's luminance, each level bilinearly upsampled
+    back to full resolution — the analog of ``texture(inImage, uv, lod=i)``
+    over the mipmapped accumulation image (render_output.cpp:188-193).
+    Returns ``levels`` full-res (H, W) planes; level 0 is the raw luminance.
+    """
+    lum = _lum(rgb)
+    h, w = lum.shape
+    out = [lum]
+    cur = lum
+    for _ in range(1, levels):
+        nh, nw = max(1, cur.shape[0] // 2), max(1, cur.shape[1] // 2)
+        cur = jax.image.resize(cur, (nh, nw), method="linear")
+        out.append(jax.image.resize(cur, (h, w), method="linear"))
+    return out
+
+
+def tone_local_exposure(rgb, log_avg_lum, key, ywhite, mips):
+    """Local-adaptation photographic exposure (post.frag:72-95): per pixel,
+    walk the luminance mip chain coarse-ward and adapt to the first level
+    whose next-coarser level differs by more than ``epsilon`` relative to
+    the Reinhard zone measure — small bright features keep their own
+    exposure instead of being crushed by the global mean."""
+    epsilon, phi = 0.05, 2.0
+    yc = jnp.sum(rgb * _XYZ_Y, axis=-1)
+    factor = key / jnp.maximum(log_avg_lum, 1e-9)
+    y = factor * yc
+    v = [m * factor for m in mips]
+    la = v[7]
+    # First-true-from-fine semantics via a reverse fold (the GLSL breaks at
+    # the first level whose center/surround contrast exceeds epsilon).
+    for i in reversed(range(7)):
+        scale = float(1 << i)
+        denom = (key * (2.0 ** phi) / (scale * scale)) + v[i]
+        cond = jnp.abs(v[i] - v[i + 1]) / denom > epsilon
+        la = jnp.where(cond, v[i], la)
+    yd = y / (1.0 + la)
+    scale_px = yd / jnp.maximum(yc, 1e-9)
+    return rgb * scale_px[..., None]
 
 
 def _dither(linear_color, noise, quant):
@@ -101,9 +147,16 @@ def apply_post(
     avg = jnp.mean(rgb.reshape(-1, 3), axis=0)
     avg_lum2 = _lum(avg)
     auto = (tm.auto_exposure & 1) == 1
-    rgb = jnp.where(auto, tone_exposure(rgb, avg_lum2, tm.key, tm.ywhite), rgb)
+    local = (tm.auto_exposure & 2) == 2
+    exposed_g = tone_exposure(rgb, avg_lum2, tm.key, tm.ywhite)
+    exposed_l = tone_local_exposure(
+        rgb, avg_lum2, tm.key, tm.ywhite, luminance_pyramid(rgb)
+    )
+    rgb = jnp.where(auto, jnp.where(local, exposed_l, exposed_g), rgb)
 
-    color = tone_map(rgb, 1.0 / jnp.maximum(tm.avg_lum, 1e-9), mode)
+    # `avg_lum` is the manual exposure multiplier (toneMap's u_Exposure,
+    # tonemapping.glsl:86-88; default 1.0, render_output.hpp:42).
+    color = tone_map(rgb, tm.avg_lum, mode)
 
     # Dither against banding
     yy = jax.lax.broadcasted_iota(jnp.uint32, (h, w), 0)
