@@ -4,6 +4,12 @@ Fixed-seed renders compared to stored goldens by RMSE — the harness the
 reference lacks (its verification was interactive). Goldens were produced by
 this renderer on CPU; the gate catches any change to integrator semantics,
 RNG streams, traversal, or BSDFs.
+
+IMPORTANT: goldens must be (re)generated under the SAME backend config the
+suite runs with (conftest: CPU + --xla_force_host_platform_device_count=8).
+XLA CPU codegen differs measurably between device-count configs (~3% RMSE
+via fp reassociation cascading through RR/tie comparisons); absolute
+correctness is anchored independently in tests/test_anchor.py.
 """
 
 import os

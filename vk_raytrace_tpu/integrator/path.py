@@ -50,7 +50,7 @@ from ..ops import traverse
 from ..ops import traverse_wide
 from ..ops.bsdf_disney import disney_eval, disney_sample
 from ..ops.bsdf_gltf import pbr_eval, pbr_sample
-from ..ops.env import env_radiance, env_sample
+from ..ops.env import env_radiance, env_sample, environment_pdf
 from ..ops.lights import sample_light
 from ..ops.math import (
     dot,
@@ -78,6 +78,8 @@ class PathState(NamedTuple):
     debug: jax.Array        # (R, 3) debug-mode output (first hit)
     steps: jax.Array        # (R,) i32 accumulated traversal steps (heatmap)
     rays: jax.Array         # (R,) i32 rays traced per lane (primary+bounce+shadow)
+    bsdf_pdf: jax.Array     # (R,) f32 pdf of the sample that produced this ray
+                            #     (0 = camera ray; drives BSDF-side env MIS)
 
 
 def _eval_bsdf(cfg: RenderConfig, state, v, n, l):
@@ -87,11 +89,47 @@ def _eval_bsdf(cfg: RenderConfig, state, v, n, l):
 
 
 def _sample_bsdf(cfg: RenderConfig, state, v, n, seed):
+    # full_mis: sample the lobe-mixture direction but return the mixture
+    # (f, pdf) from eval — sampling and NEE then share ONE pdf function, so
+    # the power-heuristic weights sum to 1 (see ops/bsdf_gltf.py::pbr_sample).
     if cfg.pbr_mode == PBR_DISNEY:
-        f, l, pdf, _is_ss, seed = disney_sample(state, v, n, seed)
+        f, l, pdf, _is_ss, seed = disney_sample(
+            state, v, n, seed, combined=cfg.full_mis
+        )
         return f, l, pdf, seed
-    f, l, pdf, seed = pbr_sample(state, v, n, seed)
+    f, l, pdf, seed = pbr_sample(state, v, n, seed, combined=cfg.full_mis)
     return f, l, pdf, seed
+
+
+def nee_strategy_pdf(
+    full_mis: bool, scene, use_light, e_pdf, p_select_light: float
+):
+    """Effective pdf of the one-sample NEE strategy (shared by the unrolled
+    and pooled integrators).
+
+    full MIS: punctual pdf = P(pick lights)·(1/n_lights); environment pdf =
+    P(pick env)·alias_pdf — the correct one-sample-MIS strategy density.
+    Reference compat: 1 for punctual, raw alias pdf for env (the reference
+    never divides by selection probabilities, pathtrace.glsl:113-179)."""
+    if not full_mis:
+        return jnp.where(use_light, 1.0, e_pdf)
+    n_lf = jnp.maximum(scene.n_lights, 1).astype(jnp.float32)
+    p_light_sel = jnp.where(scene.n_lights > 0, p_select_light, 0.0)
+    return jnp.where(use_light, p_light_sel / n_lf, (1.0 - p_light_sel) * e_pdf)
+
+
+def env_bsdf_mis_weight(scene, bsdf_pdf, direction, p_select_light: float):
+    """Power-heuristic weight for a BSDF-sampled ray that escaped to the
+    environment (full-MIS counterpart of the NEE env term; the reference
+    adds this contribution unweighted, pathtrace.glsl:228). Camera rays
+    (bsdf_pdf == 0) see the environment directly: weight 1."""
+    p_light_sel = jnp.where(scene.n_lights > 0, p_select_light, 0.0)
+    pdf_env = environment_pdf(scene.env, direction) * (1.0 - p_light_sel)
+    return jnp.where(
+        bsdf_pdf > 0.0,
+        jnp.maximum(0.0, power_heuristic(bsdf_pdf, pdf_env)),
+        1.0,
+    )
 
 
 def _debug_info(cfg: RenderConfig, state) -> jax.Array:
@@ -126,11 +164,18 @@ def trace_paths(
     direction: jax.Array,
     seed: jax.Array,
     has_alpha: bool,
+    tracer=None,
+    features=None,
 ) -> PathState:
     """Run the full bounce loop for a batch of primary rays.
 
     Returns the final :class:`PathState`; ``radiance`` is the per-ray
     estimate (pre firefly clamp).
+
+    ``tracer``: optional traversal back end override with ``closest(o, d,
+    seed, active)`` / ``occluded(o, d, t_max, seed, active)`` — used by the
+    BVH-free correctness anchor (:mod:`integrator.brute`); None = the
+    production wide-BVH bundle.
     """
     r = origin.shape[0]
     zero3 = jnp.zeros((r, 3), jnp.float32)
@@ -145,6 +190,7 @@ def trace_paths(
         debug=zero3,
         steps=jnp.zeros((r,), jnp.int32),
         rays=jnp.zeros((r,), jnp.int32),
+        bsdf_pdf=jnp.zeros((r,), jnp.float32),
     )
 
     alpha_ctx = (
@@ -155,17 +201,43 @@ def trace_paths(
     p_select_light = 0.5 if cfg.hdr_multiplier > 0.0 else 1.0
     hdr_mult = jnp.float32(cfg.hdr_multiplier)
     want_first_hit_debug = DEBUG_NONE < cfg.debug_mode < DEBUG_RADIANCE
+    # Analytic sun&sky has no direction-pdf lookup (sun-cone sampling);
+    # production always bakes it to an HDR env (render.py::prepare_sun_sky),
+    # so full MIS falls back to reference weighting only in the analytic path.
+    full_mis = cfg.full_mis and not cfg.use_sun_sky
+
+    from ..ops.tlas import InstancedAccel, any_hit_instanced, closest_hit_instanced
+
+    is_instanced = isinstance(packed, InstancedAccel)
+    if tracer is not None:
+        _closest, _occluded = tracer.closest, tracer.occluded
+    elif is_instanced:
+        def _closest(o, d, seed, active):
+            return closest_hit_instanced(
+                packed, scene.geometry.tri_material, o, d,
+                seed=seed, alpha_ctx=alpha_ctx, active=active,
+            )
+
+        def _occluded(o, d, t_max, seed, active):
+            return any_hit_instanced(
+                packed, scene.geometry.tri_material, o, d, t_max,
+                seed=seed, alpha_ctx=alpha_ctx, active=active,
+            )
+    else:
+        def _closest(o, d, seed, active):
+            return traverse_wide.closest_hit_bundle(
+                packed, scene.geometry.tri_material, o, d,
+                seed=seed, alpha_ctx=alpha_ctx, active=active,
+            )
+
+        def _occluded(o, d, t_max, seed, active):
+            return traverse_wide.any_hit_bundle(
+                packed, scene.geometry.tri_material, o, d, t_max,
+                seed=seed, alpha_ctx=alpha_ctx, active=active,
+            )
 
     def bounce(st: PathState, depth: int) -> PathState:
-        hit, seed = traverse_wide.closest_hit_bundle(
-            packed,
-            scene.geometry.tri_material,
-            st.origin,
-            st.direction,
-            seed=st.seed,
-            alpha_ctx=alpha_ctx,
-            active=st.alive,
-        )
+        hit, seed = _closest(st.origin, st.direction, st.seed, st.alive)
         steps = st.steps + hit.steps
         rays = st.rays + st.alive.astype(jnp.int32)
 
@@ -174,14 +246,25 @@ def trace_paths(
         env = env_radiance(
             scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, st.direction
         )
+        if full_mis:
+            w_env = env_bsdf_mis_weight(
+                scene, st.bsdf_pdf, st.direction, p_select_light
+            )
+            env = env * w_env[..., None]
         radiance = st.radiance + jnp.where(
             miss[..., None], env * st.throughput, 0.0
         )
         alive = st.alive & ~miss
 
         # ---- Shade state + material (pathtrace.glsl:231-252) -------------
-        ss = get_shade_state(scene.geometry, hit.tri, hit.u, hit.v)
-        state = resolve_material(ss, scene.materials, scene.atlas, st.direction)
+        ss = get_shade_state(
+            scene.geometry, hit.tri, hit.u, hit.v,
+            instances=packed.inst if is_instanced else None,
+            inst=hit.inst,
+        )
+        state = resolve_material(
+            ss, scene.materials, scene.atlas, st.direction, features=features
+        )
 
         debug = st.debug
         if want_first_hit_debug and depth == 0:
@@ -226,7 +309,9 @@ def trace_paths(
         light_contrib = jnp.where(use_light[..., None], l_int, e_rad)
         light_dir = jnp.where(use_light[..., None], l_dir, e_dir)
         light_dist = jnp.where(use_light, l_dist, 1e32)
-        light_pdf = jnp.where(use_light, 1.0, e_pdf)
+        light_pdf = nee_strategy_pdf(
+            full_mis, scene, use_light, e_pdf, p_select_light
+        )
 
         f_l, pdf_l = _eval_bsdf(cfg, state, v_dir, state.ffnormal, light_dir)
         mis = jnp.where(
@@ -278,16 +363,7 @@ def trace_paths(
         new_dir = jnp.where(alive[..., None], l_b, st.direction)
 
         # ---- Deferred shadow ray (:320-331) ------------------------------
-        occluded, seed = traverse_wide.any_hit_bundle(
-            packed,
-            scene.geometry.tri_material,
-            new_origin,
-            light_dir,
-            light_dist,
-            seed=seed,
-            alpha_ctx=alpha_ctx,
-            active=visible,
-        )
+        occluded, seed = _occluded(new_origin, light_dir, light_dist, seed, visible)
         radiance = radiance + jnp.where(
             (visible & ~occluded)[..., None], nee, 0.0
         )
@@ -319,6 +395,7 @@ def trace_paths(
             debug=debug,
             steps=steps,
             rays=rays,
+            bsdf_pdf=jnp.where(alive, pdf_b, st.bsdf_pdf),
         )
 
     # Python loop over static depth -> fully unrolled scan (each depth can
@@ -336,11 +413,16 @@ def sample_pixels(
     direction: jax.Array,
     seed: jax.Array,
     has_alpha: bool,
+    tracer=None,
+    features=None,
 ):
     """One sample per pixel: path trace + firefly clamp
     (``samplePixel``, pathtrace.glsl:348-387). Returns (radiance, seed, aux).
     """
-    st = trace_paths(scene, packed, cfg, origin, direction, seed, has_alpha)
+    st = trace_paths(
+        scene, packed, cfg, origin, direction, seed, has_alpha,
+        tracer=tracer, features=features,
+    )
     radiance = st.radiance
 
     lum = firefly_luminance(radiance)

@@ -44,6 +44,7 @@ from ..ops.lights import sample_light
 from ..ops.math import dot, firefly_luminance, offset_ray, power_heuristic
 from ..ops.traverse import AlphaCtx
 from .camera import generate_rays_for_pixels
+from .path import env_bsdf_mis_weight, nee_strategy_pdf
 from .shade import get_shade_state, resolve_material
 
 
@@ -57,6 +58,8 @@ class PoolState(NamedTuple):
     seed: jax.Array         # (P,) u32
     depth: jax.Array        # (P,) i32 bounces completed on current path
     active: jax.Array       # (P,) bool
+    bsdf_pdf: jax.Array     # (P,) f32 pdf of the sample that produced this
+                            #     ray (0 = camera ray; BSDF-side env MIS)
     next_unit: jax.Array    # ()  i32 units allocated so far
     out: jax.Array          # (N, 3) scatter-add accumulation (pixel-local)
     steps: jax.Array        # (N,) i32 traversal steps per pixel (heatmap/stats)
@@ -72,6 +75,7 @@ def render_units_pooled(
     pix0: jax.Array,        # () i32 first pixel of the slice
     n_pix: int,             # static slice size
     pool: int,              # static lane-pool size
+    features=None,          # static MatFeatures (see integrator/shade.py)
 ):
     """Trace ``n_pix * cfg.max_samples`` paths; returns
     ``(radiance_mean (n_pix, 3), steps (n_pix,), rays ())``."""
@@ -87,6 +91,7 @@ def render_units_pooled(
     p_select_light = 0.5 if cfg.hdr_multiplier > 0.0 else 1.0
     hdr_mult = jnp.float32(cfg.hdr_multiplier)
     clamp = jnp.float32(cfg.firefly_clamp)
+    full_mis = cfg.full_mis and not cfg.use_sun_sky  # see integrator/path.py
 
     def regenerate(st: PoolState) -> PoolState:
         """Dead lanes claim the next unclaimed (pixel, sample) units."""
@@ -117,20 +122,39 @@ def render_units_pooled(
             depth=jnp.where(granted, 0, st.depth),
             active=st.active | granted,
             next_unit=st.next_unit + n_granted,
+            bsdf_pdf=jnp.where(granted, 0.0, st.bsdf_pdf),
+        )
+
+    from ..ops.tlas import InstancedAccel, any_hit_instanced, closest_hit_instanced
+
+    is_instanced = isinstance(packed, InstancedAccel)
+
+    def _closest(o, d, seed, active):
+        if is_instanced:
+            return closest_hit_instanced(
+                packed, scene.geometry.tri_material, o, d,
+                seed=seed, alpha_ctx=alpha_ctx, active=active,
+            )
+        return traverse_wide.closest_hit_bundle(
+            packed, scene.geometry.tri_material, o, d,
+            seed=seed, alpha_ctx=alpha_ctx, active=active,
+        )
+
+    def _occluded(o, d, t_max, seed, active):
+        if is_instanced:
+            return any_hit_instanced(
+                packed, scene.geometry.tri_material, o, d, t_max,
+                seed=seed, alpha_ctx=alpha_ctx, active=active,
+            )
+        return traverse_wide.any_hit_bundle(
+            packed, scene.geometry.tri_material, o, d, t_max,
+            seed=seed, alpha_ctx=alpha_ctx, active=active,
         )
 
     def bounce(st: PoolState) -> PoolState:
         """One bounce for every active lane — semantics of
         ``integrator/path.py::trace_paths.bounce`` with a per-lane depth."""
-        hit, seed = traverse_wide.closest_hit_bundle(
-            packed,
-            scene.geometry.tri_material,
-            st.origin,
-            st.direction,
-            seed=st.seed,
-            alpha_ctx=alpha_ctx,
-            active=st.active,
-        )
+        hit, seed = _closest(st.origin, st.direction, st.seed, st.active)
         rays = st.rays + jnp.sum(st.active.astype(jnp.int32))
 
         # ---- Environment miss (pathtrace.glsl:203-228) -------------------
@@ -138,14 +162,25 @@ def render_units_pooled(
         env = env_radiance(
             scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, st.direction
         )
+        if full_mis:
+            w_env = env_bsdf_mis_weight(
+                scene, st.bsdf_pdf, st.direction, p_select_light
+            )
+            env = env * w_env[..., None]
         radiance = st.radiance + jnp.where(
             miss[..., None], env * st.throughput, 0.0
         )
         alive = st.active & ~miss
 
         # ---- Shade state + material (pathtrace.glsl:231-252) -------------
-        ss = get_shade_state(scene.geometry, hit.tri, hit.u, hit.v)
-        state = resolve_material(ss, scene.materials, scene.atlas, st.direction)
+        ss = get_shade_state(
+            scene.geometry, hit.tri, hit.u, hit.v,
+            instances=packed.inst if is_instanced else None,
+            inst=hit.inst,
+        )
+        state = resolve_material(
+            ss, scene.materials, scene.atlas, st.direction, features=features
+        )
 
         # ---- Unlit shortcut (pathtrace.glsl:258-262) ---------------------
         unlit = alive & state.mat.unlit
@@ -186,7 +221,9 @@ def render_units_pooled(
         light_contrib = jnp.where(use_light[..., None], l_int, e_rad)
         light_dir = jnp.where(use_light[..., None], l_dir, e_dir)
         light_dist = jnp.where(use_light, l_dist, 1e32)
-        light_pdf = jnp.where(use_light, 1.0, e_pdf)
+        light_pdf = nee_strategy_pdf(
+            full_mis, scene, use_light, e_pdf, p_select_light
+        )
 
         f_l, pdf_l = _eval_bsdf(cfg, state, v_dir, state.ffnormal, light_dir)
         mis = jnp.where(
@@ -240,16 +277,7 @@ def render_units_pooled(
         new_dir = jnp.where(alive[..., None], l_b, st.direction)
 
         # ---- Deferred shadow ray (:320-331) ------------------------------
-        occluded, seed = traverse_wide.any_hit_bundle(
-            packed,
-            scene.geometry.tri_material,
-            new_origin,
-            light_dir,
-            light_dist,
-            seed=seed,
-            alpha_ctx=alpha_ctx,
-            active=visible,
-        )
+        occluded, seed = _occluded(new_origin, light_dir, light_dist, seed, visible)
         radiance = radiance + jnp.where(
             (visible & ~occluded)[..., None], nee, 0.0
         )
@@ -292,6 +320,7 @@ def render_units_pooled(
             out=out,
             steps=steps,
             rays=rays,
+            bsdf_pdf=jnp.where(alive, pdf_b, st.bsdf_pdf),
         )
 
     def iteration(st: PoolState) -> PoolState:
@@ -312,6 +341,7 @@ def render_units_pooled(
         seed=jnp.zeros((p,), jnp.uint32),
         depth=jnp.zeros((p,), jnp.int32),
         active=jnp.zeros((p,), bool),
+        bsdf_pdf=jnp.zeros((p,), jnp.float32),
         next_unit=jnp.asarray(0, jnp.int32),
         out=jnp.zeros((n_pix, 3), jnp.float32),
         steps=jnp.zeros((n_pix,), jnp.int32),
@@ -328,8 +358,13 @@ def _eval_bsdf(cfg: RenderConfig, state, v, n, l):
 
 
 def _sample_bsdf(cfg: RenderConfig, state, v, n, seed):
+    # full_mis: sample the lobe-mixture direction but return the mixture
+    # (f, pdf) from eval — sampling and NEE then share ONE pdf function, so
+    # the power-heuristic weights sum to 1 (see ops/bsdf_gltf.py::pbr_sample).
     if cfg.pbr_mode == PBR_DISNEY:
-        f, l, pdf, _is_ss, seed = disney_sample(state, v, n, seed)
+        f, l, pdf, _is_ss, seed = disney_sample(
+            state, v, n, seed, combined=cfg.full_mis
+        )
         return f, l, pdf, seed
-    f, l, pdf, seed = pbr_sample(state, v, n, seed)
+    f, l, pdf, seed = pbr_sample(state, v, n, seed, combined=cfg.full_mis)
     return f, l, pdf, seed

@@ -255,6 +255,10 @@ class SceneData(NamedTuple):
     camera: Camera
     sun_sky: SunSky
     bvh: BVH
+    # Two-level mode (ops/tlas.py): the prebuilt instanced acceleration
+    # structure; None = single-level world-space geometry (baked transforms).
+    # When set, `geometry` is the OBJECT-space shared mesh pool.
+    instances: Optional[NamedTuple] = None
 
 
 class Tonemapper(NamedTuple):
@@ -320,6 +324,17 @@ class RenderConfig:
     use_any_hit: bool = True       # stochastic alpha during traversal
     rr: bool = True                # Russian roulette (pathtrace.glsl:27)
     rr_depth: int = 0
+    # Light-strategy weighting. The reference's estimator is biased: the
+    # BSDF-side environment hit adds FULL radiance with no MIS weight
+    # (pathtrace.glsl:228) while NEE adds an env-MIS-weighted term
+    # (pathtrace.glsl:177-179), and neither NEE branch divides by the 0.5
+    # strategy-selection probability or the uniform light pick (1/nbLights)
+    # — measured +25% on an analytic furnace (tests/test_anchor.py).
+    # full_mis=True (default) uses the correct two-sided power-heuristic
+    # estimator (selection probs included, BSDF-side env hits weighted via
+    # ops/env.py::environment_pdf); False reproduces the reference's
+    # weighting exactly for RMSE comparisons against its renders.
+    full_mis: bool = True
 
 
 def _np(x, dtype):

@@ -257,10 +257,14 @@ def disney_eval(state: SurfState, v, n, l):
     return f, pdf
 
 
-def disney_sample(state: SurfState, v, n, seed):
+def disney_sample(state: SurfState, v, n, seed, combined: bool = False):
     """``DisneySample`` (pbr_disney.glsl:414-520).
 
     Returns ``(f (R,3), L (R,3), pdf (R,), is_subsurface (R,) bool, seed')``.
+
+    ``combined=True`` keeps the identical sampled direction / RNG stream but
+    returns ``disney_eval``'s mixture (f, pdf) at it instead of the chosen
+    lobe's — see ops/bsdf_gltf.py::pbr_sample for why (MIS pdf consistency).
     """
     m = state.mat
     seed, r1 = rng.rand(seed)
@@ -346,4 +350,6 @@ def disney_sample(state: SurfState, v, n, seed):
     f_out = jnp.where(pick_trans[..., None], f_bsdf, f_brdf)
     pdf_out = jnp.where(pick_trans, pdf_bsdf, pdf_brdf)
     is_subsurface = (~pick_trans) & pick_diffuse & pick_ss
+    if combined:
+        f_out, pdf_out = disney_eval(state, v, n, l_out)
     return f_out, l_out, pdf_out, is_subsurface, seed

@@ -203,13 +203,23 @@ def pbr_eval(state: SurfState, v, n, l):
     return f, pdf
 
 
-def pbr_sample(state: SurfState, v, n, seed):
+def pbr_sample(state: SurfState, v, n, seed, combined: bool = False):
     """``PbrSample`` (pbr_gltf.glsl:439-554).
 
     Returns ``(f (R,3), L (R,3), pdf (R,), seed')``. The RNG consumption
     pattern mirrors the reference: probability, r1, r2, then branch draws —
     every lane consumes the same number of draws (branchless), which keeps
     streams aligned across the wavefront.
+
+    ``combined=False`` reproduces the reference's single-lobe return: f and
+    pdf of the CHOSEN lobe only, pdf scaled by the lobe-selection
+    probability. That estimator is internally unbiased, but its pdf is a
+    different function than ``pbr_eval``'s mixture pdf, so MIS weights
+    built from the two don't sum to 1 (measured -13% on an analytic
+    furnace). ``combined=True`` (the full_mis path) keeps the identical
+    sampled direction and RNG stream but returns ``pbr_eval`` at it — the
+    mixture f and pdf — making sampling and evaluation share one pdf
+    function (and removing lobe-selection variance).
     """
     m = state.mat
     seed, probability = rng.rand(seed)
@@ -290,4 +300,6 @@ def pbr_sample(state: SurfState, v, n, seed):
     l_out = jnp.where(pick_trans[..., None], l_trans, l_brdf)
     f_out = jnp.where(pick_trans[..., None], f_trans_w, f_brdf)
     pdf_out = jnp.where(pick_trans, pdf_trans_w, pdf_brdf)
+    if combined:
+        f_out, pdf_out = pbr_eval(state, v, n, l_out)
     return f_out, l_out, pdf_out, seed
