@@ -12,6 +12,8 @@ so the object->world matrix chain of the reference collapses to identity.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -43,11 +45,23 @@ def _unpack_rgba8(c: jax.Array) -> jax.Array:
     )
 
 
-def get_shade_state(geom: Geometry, tri: jax.Array, u: jax.Array, v: jax.Array):
+def get_shade_state(
+    geom: Geometry,
+    tri: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    instances=None,
+    inst: jax.Array | None = None,
+):
     """Interpolate vertex attributes at hit points (shade_state.glsl:63-145).
 
     ``tri`` (R,) original triangle ids (callers mask invalid lanes),
     ``u``/``v`` barycentrics of vertices 1/2.
+
+    ``instances``/``inst``: two-level mode — ``geom`` is the OBJECT-space
+    mesh pool; interpolated quantities are brought to world space with the
+    per-lane instance transform (the reference's objectToWorld /
+    worldToObject payload fields, pathtrace.rchit + shade_state.glsl:70-90).
 
     Returns a dict with position/normal/geom_normal/tangent/bitangent/uv/
     color/mat_id arrays.
@@ -66,6 +80,19 @@ def get_shade_state(geom: Geometry, tri: jax.Array, u: jax.Array, v: jax.Array):
 
     t = oct_decode(geom.tangents[idx])        # (R, 3, 3)
     tangent = normalize(jnp.einsum("rk,rkc->rc", bary, t))
+
+    if instances is not None:
+        ii = jnp.maximum(inst, 0) if inst is not None else jnp.zeros_like(trc)
+        o2w = instances.object_to_world[ii]   # (R, 3, 4)
+        w2o = instances.world_to_object[ii]
+        m3 = o2w[:, :, :3]
+        position = jnp.einsum("rij,rj->ri", m3, position) + o2w[:, :, 3]
+        # normals transform by (M^-1)^T = world_to_object rows transposed
+        normal = normalize(jnp.einsum("rij,ri->rj", w2o[:, :, :3], normal))
+        geom_normal = normalize(
+            jnp.einsum("rij,ri->rj", w2o[:, :, :3], geom_normal)
+        )
+        tangent = normalize(jnp.einsum("rij,rj->ri", m3, tangent))
     # Gram-Schmidt against the shading normal (shade_state.glsl:112-113)
     tangent = normalize(tangent - dot(tangent, normal, keepdims=True) * normal)
     handed = geom.tangent_handedness[idx[:, 0]]
@@ -90,15 +117,183 @@ def get_shade_state(geom: Geometry, tri: jax.Array, u: jax.Array, v: jax.Array):
     )
 
 
-def _tex_or(atlas, tex_id, uv, default, srgb=False):
-    """Fetch a texture or return ``default`` where tex_id < 0."""
-    val = sample_atlas(atlas, tex_id, uv)
+@dataclasses.dataclass(frozen=True)
+class MatFeatures:
+    """Static per-scene texture/feature presence (host-side scan of the
+    material table). Absent features compile to nothing: an untextured
+    scene's material resolve is ONE row gather instead of ~95 small ones
+    (each masked-out ``sample_atlas`` still cost 10 gathers at trace time).
+    Defaults are conservative (everything on)."""
+
+    base_tex: bool = True
+    mr_tex: bool = True
+    normal_tex: bool = True
+    emissive_tex: bool = True
+    transmission_tex: bool = True
+    clearcoat_tex: bool = True
+    anisotropy: bool = True
+
+
+def mat_features(materials: Materials) -> MatFeatures:
+    """Scan the material table (host-side, once per scene)."""
+    import numpy as np
+
+    def anytex(a):
+        return bool(np.any(np.asarray(a) >= 0))
+
+    m = materials
+    return MatFeatures(
+        base_tex=anytex(m.base_color_texture),
+        mr_tex=anytex(m.metallic_roughness_texture),
+        normal_tex=anytex(m.normal_texture),
+        emissive_tex=anytex(m.emissive_texture),
+        transmission_tex=anytex(m.transmission_texture),
+        clearcoat_tex=anytex(m.clearcoat_texture)
+        or anytex(m.clearcoat_roughness_texture),
+        anisotropy=bool(np.any(np.asarray(m.anisotropy) > 0.0)),
+    )
+
+
+# Packed material row layout: (name, lane count). One (M, 64) table replaces
+# ~25 per-field gathers + the 6 per-texture placement gathers of each
+# sample_atlas call — the measured XLA gather cost is flat per ROW for
+# 32..512 B rows (docs/PERFORMANCE.md), so fewer/fatter gathers win ~10x.
+_TEX = ["base", "mr", "normal", "emissive"]  # hot textures: placement inline
+_LAYOUT = [
+    ("uvT", 6),                    # uv transform rows [00,01,10,11,20,21]
+    *[(f"{t}_tex", 6) for t in _TEX],  # id, ox, oy, w, h, wrap(ws*3+wt)
+    ("emissive_factor", 3),
+    ("normal_scale", 1),
+    ("ior", 1),
+    ("rough_f", 1),
+    ("metal_f", 1),
+    ("base_factor", 4),
+    ("transmission_f", 1),
+    ("transmission_tid", 1),
+    ("unlit", 1),
+    ("aniso", 1),
+    ("aniso_dir", 3),
+    ("atten_color", 3),
+    ("atten_dist", 1),
+    ("thickness", 1),
+    ("cc_f", 1),
+    ("cc_tid", 1),
+    ("cc_rough", 1),
+    ("cc_rough_tid", 1),
+    ("sheen_color", 3),
+    ("sheen_rough", 1),
+]
+_OFFS = {}
+_cursor = 0
+for _name, _n in _LAYOUT:
+    _OFFS[_name] = _cursor
+    _cursor += _n
+_PACK_LANES = _cursor  # 60
+
+
+def pack_material_rows(m: Materials, atlas: TextureAtlas) -> jax.Array:
+    """Build the (M, _PACK_LANES) packed row table (pure jnp; XLA hoists it
+    out of the per-ray work — the table is a few KB)."""
+
+    def tex(tex_id):
+        tid = jnp.clip(tex_id, 0, atlas.x.shape[0] - 1)
+        f = jnp.float32
+        return [
+            tex_id.astype(f),
+            atlas.x[tid].astype(f),
+            atlas.y[tid].astype(f),
+            atlas.width[tid].astype(f),
+            atlas.height[tid].astype(f),
+            (atlas.wrap_s[tid] * 3 + atlas.wrap_t[tid]).astype(f),
+        ]
+
+    t = m.uv_transform
+    cols = [
+        t[:, 0, 0], t[:, 0, 1], t[:, 1, 0], t[:, 1, 1], t[:, 2, 0], t[:, 2, 1],
+        *tex(m.base_color_texture),
+        *tex(m.metallic_roughness_texture),
+        *tex(m.normal_texture),
+        *tex(m.emissive_texture),
+        m.emissive_factor[:, 0], m.emissive_factor[:, 1], m.emissive_factor[:, 2],
+        m.normal_texture_scale,
+        m.ior,
+        m.roughness_factor,
+        m.metallic_factor,
+        m.base_color_factor[:, 0], m.base_color_factor[:, 1],
+        m.base_color_factor[:, 2], m.base_color_factor[:, 3],
+        m.transmission_factor,
+        m.transmission_texture.astype(jnp.float32),
+        m.unlit.astype(jnp.float32),
+        m.anisotropy,
+        m.anisotropy_direction[:, 0], m.anisotropy_direction[:, 1],
+        m.anisotropy_direction[:, 2],
+        m.attenuation_color[:, 0], m.attenuation_color[:, 1],
+        m.attenuation_color[:, 2],
+        m.attenuation_distance,
+        m.thickness_factor,
+        m.clearcoat_factor,
+        m.clearcoat_texture.astype(jnp.float32),
+        m.clearcoat_roughness,
+        m.clearcoat_roughness_texture.astype(jnp.float32),
+        m.sheen_color[:, 0], m.sheen_color[:, 1], m.sheen_color[:, 2],
+        m.sheen_roughness,
+    ]
+    return jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+
+
+def _col(prow, name, n=1):
+    o = _OFFS[name]
+    if n == 1:
+        return prow[:, o]
+    return prow[:, o : o + n]
+
+
+def _tap_packed(atlas: TextureAtlas, prow, name, uv, srgb=False):
+    """Bilinear tap using the placement lanes already in the packed row:
+    4 texel gathers total (vs 6 placement + 4 texel in sample_atlas)."""
+    o = _OFFS[name]
+    tid = prow[:, o]
+    ox = prow[:, o + 1].astype(jnp.int32)
+    oy = prow[:, o + 2].astype(jnp.int32)
+    w = jnp.maximum(prow[:, o + 3].astype(jnp.int32), 1)
+    h = jnp.maximum(prow[:, o + 4].astype(jnp.int32), 1)
+    wrap = prow[:, o + 5].astype(jnp.int32)
+    ws, wt = wrap // 3, wrap % 3
+
+    px = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    py = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = (px - x0.astype(jnp.float32))[..., None]
+    fy = (py - y0.astype(jnp.float32))[..., None]
+
+    aw = atlas.data.shape[1]
+    flat = atlas.data.reshape(-1, 4)
+
+    def wrapc(c, size, mode):
+        rep = jnp.remainder(c, size)
+        clm = jnp.clip(c, 0, size - 1)
+        mm = jnp.remainder(c, 2 * size)
+        mir = jnp.where(mm >= size, 2 * size - 1 - mm, mm)
+        return jnp.where(mode == 0, rep, jnp.where(mode == 1, clm, mir))
+
+    def tap(xi, yi):
+        xw = wrapc(xi, w, ws) + ox
+        yw = wrapc(yi, h, wt) + oy
+        return flat[yw * aw + xw].astype(jnp.float32) * (1.0 / 255.0)
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1, y0)
+    c01 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    out = top + (bot - top) * fy
     if srgb:
-        val = jnp.concatenate(
-            [srgb_to_linear(val[..., :3]), val[..., 3:4]], axis=-1
+        out = jnp.concatenate(
+            [srgb_to_linear(out[..., :3]), out[..., 3:4]], axis=-1
         )
-    has = (tex_id >= 0)[..., None]
-    return jnp.where(has, val, default)
+    return jnp.where((tid < 0.0)[..., None], jnp.ones_like(out), out)
 
 
 def resolve_material(
@@ -106,14 +301,28 @@ def resolve_material(
     materials: Materials,
     atlas: TextureAtlas,
     ray_dir: jax.Array,
+    features: MatFeatures | None = None,
 ) -> SurfState:
-    """``GetMaterialsAndTextures`` (gltf_material.glsl:105-193) over the batch."""
-    mid = ss["mat_id"]
-    m = materials
+    """``GetMaterialsAndTextures`` (gltf_material.glsl:105-193) over the batch.
+
+    ``features``: static per-scene presence flags (see :class:`MatFeatures`);
+    None compiles the conservative everything-on path."""
+    if features is None:
+        features = MatFeatures()
+    rows = pack_material_rows(materials, atlas)
+    prow = rows[ss["mat_id"]]                       # (R, 60): THE gather
+    ones4 = jnp.ones(prow.shape[:1] + (4,), jnp.float32)
 
     # UV transform: [u, v, 1] @ T (gltf_material.glsl:116)
-    uv1 = jnp.concatenate([ss["uv"], jnp.ones_like(ss["uv"][..., :1])], axis=-1)
-    uv = jnp.einsum("ri,rij->rj", uv1, m.uv_transform[mid])[..., :2]
+    uvt = _col(prow, "uvT", 6)
+    su, sv = ss["uv"][..., 0], ss["uv"][..., 1]
+    uv = jnp.stack(
+        [
+            su * uvt[:, 0] + sv * uvt[:, 2] + uvt[:, 4],
+            su * uvt[:, 1] + sv * uvt[:, 3] + uvt[:, 5],
+        ],
+        axis=-1,
+    )
 
     normal = ss["normal"]
     tangent = ss["tangent"]
@@ -124,36 +333,45 @@ def resolve_material(
 
     # Normal mapping (gltf_material.glsl:121-129): perturb, refresh ffnormal,
     # rebuild the tangent frame from the new ffnormal.
-    ntex = m.normal_texture[mid]
-    nscale = m.normal_texture_scale[mid]
-    nval = sample_atlas(atlas, ntex, uv)[..., :3]
-    nvec = normalize(nval * 2.0 - 1.0)
-    nvec = nvec * jnp.stack([nscale, nscale, jnp.ones_like(nscale)], axis=-1)
-    mapped = normalize(
-        nvec[..., 0:1] * tangent + nvec[..., 1:2] * bitangent + nvec[..., 2:3] * normal
-    )
-    has_nmap = (ntex >= 0)[..., None]
-    normal = jnp.where(has_nmap, mapped, normal)
-    ffnormal = jnp.where(
-        dot(normal, ray_dir, keepdims=True) <= 0.0, normal, -normal
-    )
-    t2, b2 = make_coordinate_system(ffnormal)
-    tangent = jnp.where(has_nmap, t2, tangent)
-    bitangent = jnp.where(has_nmap, b2, bitangent)
+    if features.normal_tex:
+        nscale = _col(prow, "normal_scale")
+        nval = _tap_packed(atlas, prow, "normal_tex", uv)[..., :3]
+        nvec = normalize(nval * 2.0 - 1.0)
+        nvec = nvec * jnp.stack([nscale, nscale, jnp.ones_like(nscale)], axis=-1)
+        mapped = normalize(
+            nvec[..., 0:1] * tangent + nvec[..., 1:2] * bitangent
+            + nvec[..., 2:3] * normal
+        )
+        has_nmap = (_col(prow, "normal_tex") >= 0.0)[..., None]
+        normal = jnp.where(has_nmap, mapped, normal)
+        ffnormal = jnp.where(
+            dot(normal, ray_dir, keepdims=True) <= 0.0, normal, -normal
+        )
+        t2, b2 = make_coordinate_system(ffnormal)
+        tangent = jnp.where(has_nmap, t2, tangent)
+        bitangent = jnp.where(has_nmap, b2, bitangent)
 
     # Emission (gltf_material.glsl:131-135)
-    emission = m.emissive_factor[mid] * _tex_or(
-        atlas, m.emissive_texture[mid], uv, jnp.ones((4,), jnp.float32), srgb=True
-    )[..., :3]
+    emission = _col(prow, "emissive_factor", 3)
+    if features.emissive_tex:
+        emission = emission * _tap_packed(
+            atlas, prow, "emissive_tex", uv, srgb=True
+        )[..., :3]
 
     # Metallic-roughness + base color (gltf_material.glsl:52-93)
-    ior = m.ior[mid]
+    ior = _col(prow, "ior")
     dielectric_spec = ((ior - 1.0) / (ior + 1.0)) ** 2
-    mr = _tex_or(atlas, m.metallic_roughness_texture[mid], uv, jnp.ones((4,), jnp.float32))
-    roughness = mr[..., 1] * m.roughness_factor[mid]
-    metallic = mr[..., 2] * m.metallic_factor[mid]
-    base = m.base_color_factor[mid] * _tex_or(
-        atlas, m.base_color_texture[mid], uv, jnp.ones((4,), jnp.float32), srgb=True
+    mr = (
+        _tap_packed(atlas, prow, "mr_tex", uv)
+        if features.mr_tex
+        else ones4
+    )
+    roughness = mr[..., 1] * _col(prow, "rough_f")
+    metallic = mr[..., 2] * _col(prow, "metal_f")
+    base = _col(prow, "base_factor", 4) * (
+        _tap_packed(atlas, prow, "base_tex", uv, srgb=True)
+        if features.base_tex
+        else ones4
     )
     f0 = (
         dielectric_spec[..., None] * (1.0 - metallic[..., None])
@@ -164,47 +382,51 @@ def resolve_material(
     roughness = jnp.maximum(roughness, 0.001)
 
     # Transmission (gltf_material.glsl:144-149)
-    transmission = m.transmission_factor[mid] * jnp.where(
-        m.transmission_texture[mid] >= 0,
-        sample_atlas(atlas, m.transmission_texture[mid], uv)[..., 0],
-        1.0,
-    )
+    transmission = _col(prow, "transmission_f")
+    if features.transmission_tex:
+        ttid = _col(prow, "transmission_tid").astype(jnp.int32)
+        transmission = transmission * jnp.where(
+            ttid >= 0, sample_atlas(atlas, ttid, uv)[..., 0], 1.0
+        )
 
     # eta at the interface (gltf_material.glsl:152-153)
     eta = jnp.where(dot(normal, ffnormal) > 0.0, 1.0 / ior, ior)
 
-    unlit = m.unlit[mid] == 1
+    unlit = _col(prow, "unlit") == 1.0
 
     # Anisotropy (gltf_material.glsl:157-169)
-    anisotropy = m.anisotropy[mid]
+    anisotropy = _col(prow, "aniso")
     aspect = jnp.sqrt(1.0 - anisotropy * 0.9)
     ax = jnp.maximum(0.001, roughness / aspect)
     ay = jnp.maximum(0.001, roughness * aspect)
-    adir = m.anisotropy_direction[mid]
-    t_rot = normalize(
-        adir[..., 0:1] * tangent + adir[..., 1:2] * bitangent + adir[..., 2:3] * normal
-    )
-    b_rot = normalize(jnp.cross(normal, t_rot))
-    has_aniso = (anisotropy > 0.0)[..., None]
-    tangent = jnp.where(has_aniso, t_rot, tangent)
-    bitangent = jnp.where(has_aniso, b_rot, bitangent)
+    if features.anisotropy:
+        adir = _col(prow, "aniso_dir", 3)
+        t_rot = normalize(
+            adir[..., 0:1] * tangent + adir[..., 1:2] * bitangent
+            + adir[..., 2:3] * normal
+        )
+        b_rot = normalize(jnp.cross(normal, t_rot))
+        has_aniso = (anisotropy > 0.0)[..., None]
+        tangent = jnp.where(has_aniso, t_rot, tangent)
+        bitangent = jnp.where(has_aniso, b_rot, bitangent)
 
     # Volume (gltf_material.glsl:171-174)
-    attenuation_color = m.attenuation_color[mid]
-    attenuation_distance = m.attenuation_distance[mid]
-    thinwalled = m.thickness_factor[mid] == 0.0
+    attenuation_color = _col(prow, "atten_color", 3)
+    attenuation_distance = _col(prow, "atten_dist")
+    thinwalled = _col(prow, "thickness") == 0.0
 
     # Clearcoat (gltf_material.glsl:176-188)
-    clearcoat = m.clearcoat_factor[mid] * jnp.where(
-        m.clearcoat_texture[mid] >= 0,
-        sample_atlas(atlas, m.clearcoat_texture[mid], uv)[..., 0],
-        1.0,
-    )
-    ccr = m.clearcoat_roughness[mid] * jnp.where(
-        m.clearcoat_roughness_texture[mid] >= 0,
-        sample_atlas(atlas, m.clearcoat_roughness_texture[mid], uv)[..., 1],
-        1.0,
-    )
+    clearcoat = _col(prow, "cc_f")
+    ccr = _col(prow, "cc_rough")
+    if features.clearcoat_tex:
+        cctid = _col(prow, "cc_tid").astype(jnp.int32)
+        clearcoat = clearcoat * jnp.where(
+            cctid >= 0, sample_atlas(atlas, cctid, uv)[..., 0], 1.0
+        )
+        ccrtid = _col(prow, "cc_rough_tid").astype(jnp.int32)
+        ccr = ccr * jnp.where(
+            ccrtid >= 0, sample_atlas(atlas, ccrtid, uv)[..., 1], 1.0
+        )
     ccr = jnp.maximum(ccr, 0.001)
 
     mat = MatState(
@@ -225,8 +447,8 @@ def resolve_material(
         thinwalled=thinwalled,
         clearcoat=clearcoat,
         clearcoat_roughness=ccr,
-        sheen_color=m.sheen_color[mid],
-        sheen_roughness=m.sheen_roughness[mid],
+        sheen_color=_col(prow, "sheen_color", 3),
+        sheen_roughness=_col(prow, "sheen_rough"),
         specular=jnp.full_like(metallic, 0.5),
         specular_tint=jnp.ones_like(metallic),
         subsurface=jnp.zeros_like(metallic),

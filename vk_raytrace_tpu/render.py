@@ -103,6 +103,41 @@ def _build_binary_bvh_cpu(geometry: Geometry):
     return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), bvh)
 
 
+def build_instanced_scene(
+    pool,
+    instances,
+    materials: Materials,
+    lights: Lights,
+    camera: Camera,
+    *,
+    env: Optional[Environment] = None,
+    sun_sky: Optional[SunSky] = None,
+    atlas: Optional[TextureAtlas] = None,
+    n_lights: Optional[int] = None,
+) -> SceneData:
+    """Assemble a two-level (instanced) SceneData: ``pool`` is a
+    :class:`models.instances.MeshPool` (shared object-space meshes) and
+    ``instances`` an :class:`models.instances.InstanceTable`; the TLAS/BLAS
+    structure is built here (accelstruct.cpp:55-162 analog)."""
+    from .ops.tlas import build_instanced_accel
+
+    accel = build_instanced_accel(pool, instances)
+    if n_lights is None:
+        n_lights = int(np.count_nonzero(np.asarray(lights.intensity) > 0.0))
+    return SceneData(
+        geometry=pool.geometry,
+        materials=materials,
+        lights=lights,
+        n_lights=jnp.asarray(n_lights, jnp.int32),
+        atlas=atlas if atlas is not None else dummy_atlas(),
+        env=env if env is not None else dummy_environment(),
+        camera=camera,
+        sun_sky=sun_sky if sun_sky is not None else default_sun_sky(),
+        bvh=None,
+        instances=accel,
+    )
+
+
 def pack_scene(bvh, geometry) -> AccelBundle:
     """Build the traversal-ready acceleration bundle: 8-wide row tables with
     opaque/alpha split (see ops/bvh8.py)."""
@@ -154,6 +189,7 @@ def render_strip_impl(
     n_rows: int,        # static strip height
     frame: jax.Array,   # () i32
     has_alpha: bool,
+    features=None,      # static MatFeatures (integrator/shade.py)
 ) -> jax.Array:
     """``maxSamples`` full paths per pixel for one row strip, averaged.
 
@@ -170,26 +206,31 @@ def render_strip_impl(
     for s in range(cfg.max_samples):
         seed = rng.tea(pix, frame.astype(jnp.uint32) * cfg.max_samples + s)
         o, d, seed = generate_rays_for_pixels(scene.camera, w, cfg.height, pix, frame, seed)
-        radiance, seed, _ = sample_pixels(scene, packed, cfg, o, d, seed, has_alpha)
+        radiance, seed, _ = sample_pixels(
+            scene, packed, cfg, o, d, seed, has_alpha, features=features
+        )
         total = total + radiance
     return (total / cfg.max_samples).reshape(n_rows, w, 3)
 
 
 render_strip = functools.partial(
-    jax.jit, static_argnames=("cfg", "n_rows", "has_alpha")
+    jax.jit, static_argnames=("cfg", "n_rows", "has_alpha", "features")
 )(render_strip_impl)
 
 
-def render_pool_impl(scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool):
+def render_pool_impl(
+    scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool, features=None
+):
     from .integrator.wavefront import render_units_pooled
 
     return render_units_pooled(
-        scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool
+        scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool,
+        features=features,
     )
 
 
 render_pool = functools.partial(
-    jax.jit, static_argnames=("cfg", "has_alpha", "n_pix", "pool")
+    jax.jit, static_argnames=("cfg", "has_alpha", "n_pix", "pool", "features")
 )(render_pool_impl)
 
 # Pooled-dispatch sizing: paths per device program (watchdog bound) and the
@@ -261,8 +302,14 @@ class Renderer:
         )
         self.scene, self._run_cfg = prepare_sun_sky(scene, cfg)
         self.tonemapper = tonemapper or default_tonemapper()
-        self.packed = pack_scene(scene.bvh, scene.geometry)
+        if scene.instances is not None:
+            self.packed = scene.instances  # prebuilt two-level structure
+        else:
+            self.packed = pack_scene(scene.bvh, scene.geometry)
         self.has_alpha = scene_has_alpha(scene)
+        from .integrator.shade import mat_features
+
+        self.features = mat_features(scene.materials)
         self.reset()
 
     # -- frame/accumulation control (sample_example.cpp:183-207) -----------
@@ -301,15 +348,20 @@ class Renderer:
             n += 1
         n_pix = total_px // n
         pool = min(POOL_LANES, max(1024, n_pix * cfg.max_samples))
-        self.last_rays = 0
         parts = []
+        ray_counts = []
+        # Dispatch every slice without touching host values: converting the
+        # ray counter per dispatch would sync and serialize the pipeline
+        # (dispatch k+1 should be enqueued while k runs on device).
         for i in range(n):
             out, steps, rays = render_pool(
                 self.scene, self.packed, cfg, frame, self.has_alpha,
                 jnp.asarray(i * n_pix, jnp.int32), n_pix, pool,
+                features=self.features,
             )
             parts.append(out)
-            self.last_rays += int(rays)
+            ray_counts.append(rays)
+        self.last_rays = int(sum(jnp.stack(ray_counts)))
         img = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         return img.reshape(h, w, 3)
 
@@ -322,6 +374,7 @@ class Renderer:
                 render_strip(
                     self.scene, self.packed, self._run_cfg,
                     jnp.asarray(row0, jnp.int32), rows, frame, self.has_alpha,
+                    features=self.features,
                 )
             )
         return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
