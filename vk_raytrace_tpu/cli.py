@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native glTF path tracer (vk_raytrace capabilities, JAX/Pallas engine)",
     )
     p.add_argument("-f", "--scene", default="cornell",
-                   help="glTF/GLB file, or builtin: cornell | city | materials")
+                   help="glTF/GLB file, or builtin: cornell | city | materials "
+                        "| atrium (Sponza-class ~220k tris) | helmet "
+                        "(DamagedHelmet-class textured PBR)")
     p.add_argument("-e", "--hdr", default=None, help="HDR environment (.hdr)")
     p.add_argument("-o", "--output", default="out.png", help="output PNG")
     p.add_argument("--hdr-out", default=None, help="also write raw HDR (.npy)")
@@ -87,6 +89,10 @@ def load_scene_from_args(args):
         geom, mats, lights, cam = procedural.city_scene()
     elif args.scene == "materials":
         geom, mats, lights, cam = procedural.material_test_grid()
+    elif args.scene == "atrium":
+        geom, mats, lights, cam, atlas = procedural.atrium_scene()
+    elif args.scene == "helmet":
+        geom, mats, lights, cam, atlas = procedural.helmet_scene()
     else:
         from .models.gltf import load_gltf
 
@@ -103,7 +109,7 @@ def load_scene_from_args(args):
         print(f"loaded {args.hdr}: {img.shape[1]}x{img.shape[0]} "
               f"integral={float(env.integral):.3f} ({time.time() - t0:.2f}s)",
               file=sys.stderr)
-    elif args.scene == "materials":
+    elif args.scene in ("materials", "helmet"):
         env = hdr_mod.build_environment(hdr_mod.procedural_sky_hdr())
 
     sun_sky = default_sun_sky(in_use=args.sun_sky)

@@ -262,3 +262,367 @@ def _uv_sphere(n_lat: int, n_lon: int, radius: float = 1.0):
         np.asarray(norms),
         np.asarray(uvs),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-scale benchmark scenes (BASELINE configs #2/#3/#5 classes).
+#
+# The environment ships no assets (zero egress), so these stand in for
+# DamagedHelmet / Sponza / Bistro: same workload shape — 10^5..10^6 textured
+# triangles, alpha-cutout geometry, PBR texture sets — generated procedurally
+# and deterministically. (Reference loads the real files via tiny_gltf,
+# scene.cpp:123-155; what matters for the framework benchmarks is the scale.)
+
+
+def _grid_mesh(nx: int, ny: int):
+    """(nx+1)*(ny+1) vertex grid; returns (flat index pairs, triangles)."""
+    jj, ii = np.meshgrid(np.arange(nx + 1), np.arange(ny + 1))
+    stride = nx + 1
+    a = (ii[:-1, :-1] * stride + jj[:-1, :-1]).ravel()
+    b = a + 1
+    c = a + stride
+    d = c + 1
+    tris = np.concatenate(
+        [np.stack([a, c, b], 1), np.stack([b, c, d], 1)], axis=0
+    ).astype(np.int64)
+    return tris
+
+
+def _lathe(profile_y, profile_r, n_seg: int, fluting: float = 0.0, flutes: int = 20):
+    """Surface of revolution around +y: rows of (y, r) swept by n_seg
+    segments; optional cosine fluting of the radius. Returns (verts, idx, uv).
+    Fully vectorized (a 250k-triangle scene must build in milliseconds)."""
+    profile_y = np.asarray(profile_y, np.float64)
+    profile_r = np.asarray(profile_r, np.float64)
+    theta = np.linspace(0.0, 2.0 * np.pi, n_seg + 1)
+    r = profile_r[:, None] * (1.0 + fluting * np.cos(flutes * theta)[None, :])
+    x = r * np.cos(theta)[None, :]
+    z = r * np.sin(theta)[None, :]
+    y = np.broadcast_to(profile_y[:, None], r.shape)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    u = np.broadcast_to(theta[None, :] / (2 * np.pi), r.shape)
+    vv = np.broadcast_to(
+        ((profile_y - profile_y.min()) / max(np.ptp(profile_y), 1e-9))[:, None],
+        r.shape,
+    )
+    uv = np.stack([u, vv], axis=-1).reshape(-1, 2)
+    tris = _grid_mesh(n_seg, len(profile_y) - 1)
+    return verts, tris, uv
+
+
+def _bilerp_upsample(g: np.ndarray, h: int, w: int) -> np.ndarray:
+    gh, gw = g.shape
+    y = np.linspace(0, gh - 1, h)
+    x = np.linspace(0, gw - 1, w)
+    y0 = np.floor(y).astype(int)
+    x0 = np.floor(x).astype(int)
+    y1 = np.minimum(y0 + 1, gh - 1)
+    x1 = np.minimum(x0 + 1, gw - 1)
+    fy = (y - y0)[:, None]
+    fx = (x - x0)[None, :]
+    return (
+        g[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + g[np.ix_(y0, x1)] * (1 - fy) * fx
+        + g[np.ix_(y1, x0)] * fy * (1 - fx)
+        + g[np.ix_(y1, x1)] * fy * fx
+    )
+
+
+def _value_noise(h: int, w: int, seed: int = 0, octaves: int = 5) -> np.ndarray:
+    """[0,1] multi-octave value noise (procedural texture base)."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros((h, w), np.float64)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        gh = max(2, min(h, 4 << o))
+        gw = max(2, min(w, 4 << o))
+        out += amp * _bilerp_upsample(rng.random((gh, gw)), h, w)
+        total += amp
+        amp *= 0.55
+    return (out / total).astype(np.float32)
+
+
+def _rgba(rgb: np.ndarray, alpha: np.ndarray | None = None) -> np.ndarray:
+    a = (
+        np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+        if alpha is None
+        else (np.clip(alpha, 0, 1)[..., None] * 255).astype(np.uint8)
+    )
+    return np.concatenate(
+        [(np.clip(rgb, 0, 1) * 255).astype(np.uint8), a], axis=-1
+    )
+
+
+def _tex_stone(size: int, seed: int, tint=(0.75, 0.70, 0.62)) -> np.ndarray:
+    n = _value_noise(size, size, seed)
+    v = 0.65 + 0.35 * n
+    rgb = np.stack([v * tint[0], v * tint[1], v * tint[2]], axis=-1)
+    return _rgba(rgb)
+
+
+def _tex_floor(size: int, seed: int, tiles: int = 10) -> np.ndarray:
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    checker = ((yy * tiles // size + xx * tiles // size) % 2).astype(np.float64)
+    n = _value_noise(size, size, seed)
+    v = (0.35 + 0.4 * checker) * (0.8 + 0.25 * n)
+    rgb = np.stack([v, v * 0.97, v * 0.9], axis=-1)
+    return _rgba(rgb)
+
+
+def _tex_banner(size: int, seed: int, color=(0.55, 0.12, 0.10)) -> np.ndarray:
+    """Cloth with noise-carved holes + ragged bottom edge: the alpha-cutout
+    workload class of Sponza's foliage/banners (pathtrace.rahit semantics)."""
+    n = _value_noise(size, size, seed)
+    yy = np.linspace(0, 1, size)[:, None] * np.ones((1, size))
+    alpha = ((n > 0.32) | (yy < 0.75)).astype(np.float64)
+    # ragged hem
+    hem = 0.82 + 0.15 * _value_noise(1, size, seed + 1)[0]
+    alpha *= (yy < hem[None, :]).astype(np.float64)
+    shade = 0.7 + 0.3 * _value_noise(size, size, seed + 2)
+    rgb = np.stack(
+        [shade * color[0], shade * color[1], shade * color[2]], axis=-1
+    )
+    return _rgba(rgb, alpha)
+
+
+def _tex_mr(size: int, seed: int, rough_lo=0.3, rough_hi=0.9, metal_patches=True):
+    """glTF metallic-roughness texture: G=roughness, B=metallic."""
+    n = _value_noise(size, size, seed)
+    rough = rough_lo + (rough_hi - rough_lo) * n
+    metal = (
+        (_value_noise(size, size, seed + 7) > 0.55).astype(np.float64)
+        if metal_patches
+        else np.zeros((size, size))
+    )
+    rgb = np.stack([np.zeros_like(rough), rough, metal], axis=-1)
+    return _rgba(rgb)
+
+
+def atrium_scene(
+    bays_x: int = 7,
+    bays_z: int = 4,
+    column_segments: int = 80,
+    column_rows: int = 30,
+    with_banners: bool = True,
+):
+    """Sponza-class courtyard: two stories of fluted columns around an
+    atrium, tessellated floor/walls, alpha-cutout banners, textured PBR
+    materials — ~250k triangles at defaults (BASELINE config #3/#5 class).
+
+    Returns (geometry, materials, lights, camera, atlas).
+    """
+    from .textures import AtlasBuilder
+
+    atlas = AtlasBuilder()
+    t_stone = atlas.add(_tex_stone(512, 11), {})
+    t_floor = atlas.add(_tex_floor(1024, 12), {})
+    t_banner = atlas.add(_tex_banner(512, 13), {})
+    t_wall = atlas.add(_tex_stone(512, 14, tint=(0.78, 0.72, 0.60)), {})
+
+    rows = [
+        dict(  # 0: column stone
+            base_color_factor=[1, 1, 1, 1], roughness_factor=0.85,
+            metallic_factor=0.0, base_color_texture=t_stone,
+        ),
+        dict(  # 1: floor
+            base_color_factor=[1, 1, 1, 1], roughness_factor=0.45,
+            metallic_factor=0.0, base_color_texture=t_floor,
+        ),
+        dict(  # 2: banner (alpha cutout, double-sided)
+            base_color_factor=[1, 1, 1, 1], roughness_factor=0.9,
+            metallic_factor=0.0, base_color_texture=t_banner,
+            alpha_mode=ALPHA_MASK, alpha_cutoff=0.5, double_sided=1,
+        ),
+        dict(  # 3: walls/ceiling
+            base_color_factor=[1, 1, 1, 1], roughness_factor=0.95,
+            metallic_factor=0.0, base_color_texture=t_wall,
+        ),
+        dict(  # 4: trim (untextured, slightly metallic)
+            base_color_factor=[0.6, 0.55, 0.45, 1.0], roughness_factor=0.4,
+            metallic_factor=0.6,
+        ),
+    ]
+
+    g = GeometryBuilder()
+    bay = 4.0
+    ex, ez = bays_x * bay / 2, bays_z * bay / 2
+    story_h = 6.0
+
+    # Column profile: base, fluted shaft, capital (one lathe per column).
+    shaft = np.linspace(0.9, story_h - 0.9, column_rows - 8)
+    prof_y = np.concatenate([
+        [0.0, 0.25, 0.6, 0.9], shaft,
+        [story_h - 0.9, story_h - 0.55, story_h - 0.2, story_h],
+    ])
+    prof_r = np.concatenate([
+        [0.55, 0.55, 0.42, 0.34], np.full(len(shaft), 0.32),
+        [0.34, 0.44, 0.52, 0.52],
+    ])
+    cv, ci, cuv = _lathe(prof_y, prof_r, column_segments, fluting=0.06, flutes=20)
+
+    def col_positions():
+        xs = [(-ex + i * bay) for i in range(bays_x + 1)]
+        zs = [(-ez + j * bay) for j in range(bays_z + 1)]
+        pts = [(x, -ez) for x in xs] + [(x, ez) for x in xs]
+        pts += [(-ex, z) for z in zs[1:-1]] + [(ex, z) for z in zs[1:-1]]
+        return pts
+
+    tr = np.eye(4)
+    for story in range(2):
+        y0 = story * (story_h + 0.6)
+        for (x, z) in col_positions():
+            tr2 = tr.copy()
+            tr2[:3, 3] = [x, y0, z]
+            g.add_mesh(cv, ci, 0, uv=cuv, transform=tr2)
+
+    # Floor + upper walkway slabs (tessellated so the BVH sees dense planar
+    # regions like Sponza's floor).
+    def slab(x0, z0, x1, z1, y, nx, nz, mat, uv_scale):
+        gx = np.linspace(x0, x1, nx + 1)
+        gz = np.linspace(z0, z1, nz + 1)
+        zz, xx = np.meshgrid(gz, gx, indexing="ij")
+        verts = np.stack([xx, np.full_like(xx, y), zz], -1).reshape(-1, 3)
+        uv = np.stack(
+            [
+                (xx - x0) / max(x1 - x0, 1e-9) * uv_scale,
+                (zz - z0) / max(z1 - z0, 1e-9) * uv_scale,
+            ],
+            -1,
+        ).reshape(-1, 2)
+        g.add_mesh(verts, _grid_mesh(nx, nz), mat, uv=uv)
+
+    m = 1.6  # margin outside the colonnade
+    slab(-ex - m, -ez - m, ex + m, ez + m, 0.0, 64, 40, 1, 8.0)
+    # walkway ring at story height (4 strips)
+    wy = story_h + 0.3
+    slab(-ex - m, -ez - m, ex + m, -ez + 1.2, wy, 48, 6, 3, 4.0)
+    slab(-ex - m, ez - 1.2, ex + m, ez + m, wy, 48, 6, 3, 4.0)
+    slab(-ex - m, -ez + 1.2, -ex + 1.2, ez - 1.2, wy, 6, 32, 3, 4.0)
+    slab(ex - 1.2, -ez + 1.2, ex + m, ez - 1.2, wy, 6, 32, 3, 4.0)
+    # roof
+    slab(-ex - m, -ez - m, ex + m, ez + m, 2 * story_h + 1.2, 48, 32, 3, 6.0)
+
+    # Outer walls (simple tall quads, inward facing).
+    wh = 2 * story_h + 1.2
+    for (a, b) in [
+        ([-ex - m, 0, -ez - m], [ex + m, 0, -ez - m]),
+        ([ex + m, 0, -ez - m], [ex + m, 0, ez + m]),
+        ([ex + m, 0, ez + m], [-ex - m, 0, ez + m]),
+        ([-ex - m, 0, ez + m], [-ex - m, 0, -ez - m]),
+    ]:
+        v0 = np.asarray(a, np.float64)
+        v1 = np.asarray(b, np.float64)
+        verts = np.stack([v0, v1, v1 + [0, wh, 0], v0 + [0, wh, 0]])
+        uv = np.asarray([[0, 0], [6, 0], [6, 2], [0, 2]], np.float64)
+        g.add_mesh(verts, np.asarray([[0, 1, 2], [0, 2, 3]]), 3, uv=uv)
+
+    # Architrave beams along the colonnade (trim material).
+    for story in range(2):
+        y0 = story * (story_h + 0.6) + story_h
+        for (x0, z0, sx, sz) in [
+            (0, -ez, 2 * ex + 1.0, 0.8),
+            (0, ez, 2 * ex + 1.0, 0.8),
+            (-ex, 0, 0.8, 2 * ez + 1.0),
+            (ex, 0, 0.8, 2 * ez + 1.0),
+        ]:
+            bv, bi = _box([x0, y0 + 0.3, z0], [sx, 0.6, sz])
+            g.add_mesh(bv, bi, 4)
+
+    # Banners hanging from the walkway (rippled cloth grids, alpha cutout).
+    if with_banners:
+        rng = np.random.default_rng(5)
+        nb = 0
+        for i in range(bays_x):
+            for side in (-1, 1):
+                if rng.uniform() < 0.5:
+                    continue
+                x = -ex + (i + 0.5) * bay
+                z = side * (ez - 0.9)
+                nxg, nyg = 12, 16
+                gx = np.linspace(-0.9, 0.9, nxg + 1)
+                gy = np.linspace(0.0, -2.6, nyg + 1)
+                yy, xx = np.meshgrid(gy, gx, indexing="ij")
+                ripple = 0.12 * np.sin(xx * 4.0 + yy * 2.0)
+                verts = np.stack(
+                    [xx + x, yy + wy - 0.1, np.full_like(xx, z) + ripple], -1
+                ).reshape(-1, 3)
+                uv = np.stack(
+                    [(xx + 0.9) / 1.8, -yy / 2.6], -1
+                ).reshape(-1, 2)
+                g.add_mesh(
+                    verts, _grid_mesh(nxg, nyg), 2, uv=uv,
+                    double_sided=True, alpha_mode=ALPHA_MASK,
+                )
+                nb += 1
+
+    mats = make_materials(rows)
+    lights = make_lights([
+        dict(type=LIGHT_POINT, position=[0.0, wh - 1.0, 0.0], intensity=1500.0),
+        dict(type=LIGHT_POINT, position=[-ex * 0.6, story_h, 0.0], intensity=400.0),
+        dict(type=LIGHT_POINT, position=[ex * 0.6, story_h, 0.0], intensity=400.0),
+    ])
+    cam = look_at_camera(
+        eye=[-ex + 1.5, 2.2, -ez + 2.5], center=[ex * 0.5, 3.5, ez * 0.4],
+        up=[0, 1, 0], fov_deg=60.0, aspect=16 / 9,
+    )
+    return g.build(), mats, lights, cam, atlas.build()
+
+
+def helmet_scene(n_lat: int = 192, n_lon: int = 384):
+    """DamagedHelmet-class hero asset: a ~150k-triangle noise-displaced
+    sphere with full PBR texture set (base color + metallic-roughness)
+    under an HDR environment (BASELINE config #2 class).
+
+    Returns (geometry, materials, lights, camera, atlas).
+    """
+    from .textures import AtlasBuilder
+
+    atlas = AtlasBuilder()
+    # Mottled painted-metal base color with "damage" streaks.
+    size = 1024
+    n1 = _value_noise(size, size, 21)
+    n2 = _value_noise(size, size, 22, octaves=7)
+    paint = np.stack([0.30 + 0.2 * n1, 0.32 + 0.1 * n1, 0.38 + 0.05 * n1], -1)
+    rust = np.stack([0.45 + 0.2 * n2, 0.22 * n2 + 0.18, 0.10 + 0.05 * n2], -1)
+    damaged = (n2 > 0.58)[..., None]
+    base = np.where(damaged, rust, paint)
+    t_base = atlas.add(_rgba(base), {})
+    t_mr = atlas.add(_tex_mr(512, 23, rough_lo=0.25, rough_hi=0.85), {})
+    t_ground = atlas.add(_tex_floor(512, 24, tiles=6), {})
+
+    rows = [
+        dict(
+            base_color_factor=[1, 1, 1, 1], metallic_factor=1.0,
+            roughness_factor=1.0, base_color_texture=t_base,
+            metallic_roughness_texture=t_mr,
+        ),
+        dict(
+            base_color_factor=[1, 1, 1, 1], metallic_factor=0.0,
+            roughness_factor=0.7, base_color_texture=t_ground,
+        ),
+    ]
+
+    sv, si, sn, suv = _uv_sphere(n_lat, n_lon, radius=1.0)
+    # Displace along the normal by low-frequency noise sampled at uv
+    # (recompute smooth normals from the displaced mesh: normals=None).
+    disp_map = _value_noise(256, 256, 25, octaves=5)
+    ui = np.clip((suv[:, 0] * 255).astype(int), 0, 255)
+    vi = np.clip((suv[:, 1] * 255).astype(int), 0, 255)
+    disp = 0.12 * (disp_map[vi, ui] - 0.5) * 2.0
+    sv = sv * (1.0 + disp[:, None])
+
+    g = GeometryBuilder()
+    tr = np.eye(4)
+    tr[:3, 3] = [0.0, 1.1, 0.0]
+    g.add_mesh(sv, si, 0, uv=suv, transform=tr)
+    e = 6.0
+    gv, gi = _quad([-e, 0, -e], [-e, 0, e], [e, 0, e], [e, 0, -e])
+    g.add_mesh(gv, gi, 1, uv=np.asarray([[0, 0], [0, 4], [4, 4], [4, 0]], np.float64))
+
+    mats = make_materials(rows)
+    lights = make_lights([])
+    cam = look_at_camera(
+        eye=[0.0, 1.6, 3.2], center=[0.0, 1.0, 0.0], up=[0, 1, 0],
+        fov_deg=40.0, aspect=1.0,
+    )
+    return g.build(), mats, lights, cam, atlas.build()
