@@ -1,0 +1,185 @@
+"""Two-level (TLAS/BLAS) acceleration structure tests (ops/tlas.py).
+
+The reference builds one BLAS per mesh and a TLAS over instance transforms
+(accelstruct.cpp:132-162); these tests pin the instanced path against the
+round-1 baked world-space path: same scene expressed both ways must hit the
+same surfaces and render the same image, while the instanced representation
+stores the mesh once.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vk_raytrace_tpu import render as R
+from vk_raytrace_tpu.integrator.camera import generate_rays_for_pixels, with_aspect
+from vk_raytrace_tpu.models.builder import GeometryBuilder
+from vk_raytrace_tpu.models.instances import InstancedSceneBuilder
+from vk_raytrace_tpu.models.procedural import _box, _uv_sphere, look_at_camera
+from vk_raytrace_tpu.models.schema import (
+    LIGHT_POINT,
+    PBR_GLTF,
+    RenderConfig,
+    make_lights,
+    make_materials,
+)
+from vk_raytrace_tpu.ops import rng
+from vk_raytrace_tpu.ops.tlas import (
+    any_hit_instanced,
+    build_instanced_accel,
+    closest_hit_instanced,
+)
+
+
+def _transforms():
+    """A few instances with rotation+scale+translation."""
+    out = []
+    rng_ = np.random.default_rng(3)
+    for i in range(6):
+        th = rng_.uniform(0, 2 * np.pi)
+        c, s = np.cos(th), np.sin(th)
+        scale = rng_.uniform(0.5, 1.6)
+        m = np.eye(4)
+        m[:3, :3] = scale * np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        m[:3, 3] = [(i % 3 - 1) * 3.0, rng_.uniform(0.0, 1.0), (i // 3 - 0.5) * 3.0]
+        out.append(m)
+    return out
+
+
+def _build_both():
+    """Same scene as (a) instanced two-level and (b) baked world-space."""
+    sv, si, sn, suv = _uv_sphere(8, 16)
+    bv, bi = _box([0, 0, 0], [1.2, 1.2, 1.2])
+    xs = _transforms()
+
+    ib = InstancedSceneBuilder()
+    m_sphere = ib.add_mesh(sv, si, 0, normals=sn, uv=suv)
+    m_box = ib.add_mesh(bv, bi, 1)
+    for i, m in enumerate(xs):
+        ib.add_instance(m_sphere if i % 2 == 0 else m_box, m)
+    pool, inst = ib.build()
+
+    gb = GeometryBuilder()
+    for i, m in enumerate(xs):
+        if i % 2 == 0:
+            gb.add_mesh(sv, si, 0, normals=sn, uv=suv, transform=m)
+        else:
+            gb.add_mesh(bv, bi, 1, transform=m)
+    baked = gb.build()
+    return pool, inst, baked
+
+
+def _rays(n=2048, seed=0):
+    g = np.random.default_rng(seed)
+    o = g.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = g.uniform(2.5, 8.0, n)
+    d = g.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestInstancedTraversal:
+    def test_closest_matches_baked(self):
+        pool, inst, baked = _build_both()
+        accel = build_instanced_accel(pool, inst)
+        o, d = _rays()
+        hit_i, _ = closest_hit_instanced(
+            accel, pool.geometry.tri_material, o, d
+        )
+        from vk_raytrace_tpu.ops.bvh8 import build_accel_bundle
+        from vk_raytrace_tpu.ops.traverse_wide import closest_hit_bundle
+
+        bundle = build_accel_bundle(baked)
+        hit_b, _ = closest_hit_bundle(bundle, baked.tri_material, o, d)
+
+        ti = np.asarray(hit_i.t)
+        tb = np.asarray(hit_b.t)
+        hit_mask_same = (ti < 1e30) == (tb < 1e30)
+        # object-space intersection vs baked world-space differs by fp
+        # rounding of the transform; a tiny fraction of grazing rays may
+        # flip hit/miss
+        assert hit_mask_same.mean() > 0.995, hit_mask_same.mean()
+        both = (ti < 1e30) & (tb < 1e30)
+        # world t is preserved through the object-space parametrization
+        rel = np.abs(ti[both] - tb[both]) / np.maximum(tb[both], 1e-3)
+        assert np.percentile(rel, 99) < 1e-3
+        # material identity preserved (pool-global vs baked tri ids differ,
+        # but the material of the hit surface must match)
+        mi = np.asarray(pool.geometry.tri_material)[
+            np.maximum(np.asarray(hit_i.tri), 0)
+        ]
+        mb = np.asarray(baked.tri_material)[np.maximum(np.asarray(hit_b.tri), 0)]
+        same_surface = both & hit_mask_same
+        assert (mi[same_surface] == mb[same_surface]).mean() > 0.99
+
+    def test_any_hit_matches_baked(self):
+        pool, inst, baked = _build_both()
+        accel = build_instanced_accel(pool, inst)
+        o, d = _rays(seed=5)
+        t_max = jnp.full((o.shape[0],), 4.0)
+        occ_i, _ = any_hit_instanced(accel, pool.geometry.tri_material, o, d, t_max)
+        from vk_raytrace_tpu.ops.bvh8 import build_accel_bundle
+        from vk_raytrace_tpu.ops.traverse_wide import any_hit_bundle
+
+        bundle = build_accel_bundle(baked)
+        occ_b, _ = any_hit_bundle(bundle, baked.tri_material, o, d, t_max)
+        agree = np.asarray(occ_i) == np.asarray(occ_b)
+        assert agree.mean() > 0.995, agree.mean()
+
+    def test_memory_dedup(self):
+        """N instances of a mesh cost one BLAS + N table rows — not N× rows
+        (the round-1 gap: accelstruct.cpp TLAS instancing)."""
+        sv, si, sn, suv = _uv_sphere(12, 24)
+        ib = InstancedSceneBuilder()
+        mid = ib.add_mesh(sv, si, 0, normals=sn, uv=suv)
+        n_inst = 16
+        for i in range(n_inst):
+            m = np.eye(4)
+            m[:3, 3] = [i * 3.0, 0, 0]
+            ib.add_instance(mid, m)
+        pool, inst = ib.build()
+        accel = build_instanced_accel(pool, inst)
+
+        gb = GeometryBuilder()
+        for i in range(n_inst):
+            m = np.eye(4)
+            m[:3, 3] = [i * 3.0, 0, 0]
+            gb.add_mesh(sv, si, 0, normals=sn, uv=suv, transform=m)
+        from vk_raytrace_tpu.ops.bvh8 import build_accel_bundle
+
+        baked = build_accel_bundle(gb.build())
+        assert accel.blas.rows.shape[0] * 4 < baked.opaque.rows.shape[0]
+
+
+class TestInstancedRender:
+    def test_image_matches_baked_scene(self):
+        pool, inst, baked = _build_both()
+        mats = make_materials([
+            dict(base_color_factor=[0.7, 0.3, 0.3, 1.0], roughness_factor=0.8,
+                 metallic_factor=0.0),
+            dict(base_color_factor=[0.3, 0.5, 0.8, 1.0], roughness_factor=0.4,
+                 metallic_factor=0.5),
+        ])
+        lights = make_lights([
+            dict(type=LIGHT_POINT, position=[0.0, 10.0, 4.0], intensity=300.0),
+        ])
+        cam = look_at_camera(eye=[0, 6, 12], center=[0, 0.5, 0], up=[0, 1, 0],
+                             fov_deg=45.0, aspect=1.0)
+        cfg = RenderConfig(width=48, height=48, max_depth=3, max_samples=2,
+                           pbr_mode=PBR_GLTF, hdr_multiplier=0.0, rr=False)
+
+        scene_i = R.build_instanced_scene(pool, inst, mats, lights, cam)
+        r_i = R.Renderer(scene_i, cfg)
+        r_i.step()
+        img_i = np.asarray(r_i.hdr())
+
+        scene_b = R.build_scene(baked, mats, lights, cam)
+        r_b = R.Renderer(scene_b, cfg)
+        r_b.step()
+        img_b = np.asarray(r_b.hdr())
+
+        diff = np.abs(img_i - img_b).max(axis=-1)
+        scale = max(float(img_b.mean()), 1e-6)
+        # identical RNG streams; only fp transform rounding differs (plus
+        # rare shared-edge tie-breaks, see tests/test_anchor.py)
+        assert float((diff < 0.05 * scale).mean()) > 0.97

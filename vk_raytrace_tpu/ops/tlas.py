@@ -1,0 +1,261 @@
+"""Two-level acceleration: instance table over shared per-mesh wide BVHs.
+
+The analog of the reference's TLAS/BLAS split (``accelstruct.cpp:132-162``):
+each mesh keeps ONE object-space 8-wide BVH (``ops/bvh8.py`` layout, all
+meshes concatenated into a single row table), and instances are {3×4
+transform, mesh id} rows. N instances of a mesh cost N table rows + the
+shared BLAS — not N× geometry, as the round-1 world-space baking did.
+
+TPU-native traversal shape: instead of interleaving TLAS nodes into the
+per-ray stack (which would force a space-tag on every stack entry), the top
+level runs as **candidate rounds**: per round, every ray picks its nearest
+not-yet-processed instance whose world AABB it enters closer than its
+current best hit (a fused slab test over the whole instance table — the
+instance count is small next to the triangle count), transforms into object
+space, and runs the normal wide-BVH traversal from that instance's BLAS
+root with ``t_max = t_best``. Rounds repeat until no ray has a candidate;
+ray-overlap counts are tiny (1-3) in practice, so this costs one or two
+extra traversal passes, each masked to the lanes that still need it.
+
+World-space ``t`` is preserved exactly by NOT renormalizing the
+object-space direction (t parametrization is invariant under the affine
+map), so hits from different instances compare directly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.instances import InstanceTable, MeshPool
+from .bvh8 import WideScene, _stack_bound
+from .traverse import INF, AlphaCtx, Hit
+from .traverse_wide import _traverse_wide
+
+_NEG = jnp.float32(-3.0e38)
+
+
+class InstancedAccel(NamedTuple):
+    """Traversal-ready two-level structure (a pytree; all static info lives
+    in ``blas.stack_depth``)."""
+
+    blas: WideScene          # concatenated per-mesh row tables
+    mesh_root: jax.Array     # (M,) i32 absolute root row of each mesh
+    inst: InstanceTable
+
+
+def _classify_interior(rows: np.ndarray) -> np.ndarray:
+    """Mark interior rows by walking refs from the root (row layout
+    interleaves interior/leaf rows in build order)."""
+    n = len(rows)
+    interior = np.zeros(n, bool)
+    stack = [0]
+    while stack:
+        rid = stack.pop()
+        if interior[rid]:
+            continue
+        interior[rid] = True
+        row = rows[rid]
+        for c in range(8):
+            if row[c * 6] <= row[c * 6 + 3]:
+                ref = int(row[48 + c])
+                if ref >= 0:
+                    stack.append(ref)
+    return interior
+
+
+def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel:
+    """Build each mesh's wide BVH (object space, pool-global triangle ids)
+    and concatenate with ref fixups."""
+    from .bvh8 import collapse_bvh8
+    from .bvh import build_bvh
+    from .. import runtime
+
+    geom = pool.geometry
+    pos = np.asarray(geom.positions)
+    idx = np.asarray(geom.indices)
+    uvs = np.asarray(geom.uv)
+    flg = np.asarray(geom.tri_flags)
+
+    tables = []
+    roots = []
+    base = 0
+    depth = 1
+    n_mesh = len(pool.tri_start)
+    for m in range(n_mesh):
+        lo = int(pool.tri_start[m])
+        cnt = int(pool.tri_count[m])
+        sl = slice(lo, lo + cnt)
+        ids = np.arange(lo, lo + cnt, dtype=np.int32)  # pool-global tri ids
+        rows = runtime.build_bvh8_rows(pos, idx[sl], uvs, flg[sl], tri_ids=ids)
+        if rows is None:
+            sub = geom._replace(
+                indices=jnp.asarray(idx[sl]),
+                tri_material=geom.tri_material[sl],
+                tri_flags=jnp.asarray(flg[sl]),
+            )
+            bvh = build_bvh(sub.positions, sub.indices)
+            rows = np.asarray(collapse_bvh8(bvh, sub, tri_ids=ids).rows)
+        else:
+            rows = np.asarray(rows)
+        depth = max(depth, _stack_bound(rows))
+        if base:
+            interior = _classify_interior(rows)
+            valid = rows[:, 0:48:6] <= rows[:, 3:48:6]        # (n, 8)
+            refs = rows[:, 48:56]
+            fixed = np.where(refs >= 0, refs + base, refs - 4 * base)
+            rows[:, 48:56] = np.where(interior[:, None] & valid, fixed, refs)
+        roots.append(base)
+        base += len(rows)
+        tables.append(rows)
+    assert base * 4 + 4 < 2**23, "combined BLAS too large for exact-f32 refs"
+    all_rows = np.concatenate(tables, axis=0)
+    return InstancedAccel(
+        blas=WideScene(rows=jnp.asarray(all_rows), stack_depth=depth),
+        mesh_root=jnp.asarray(roots, jnp.int32),
+        inst=inst,
+    )
+
+
+def _instance_slab(inst: InstanceTable, origin, direction, t_best):
+    """Entry distance of each ray into each instance AABB: (R, I) f32,
+    INF where missed or not closer than the ray's best hit."""
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.where(direction < 0, -1e-20, 1e-20),
+        direction,
+    )
+    o = origin[:, None, :]       # (R, 1, 3)
+    i = inv_d[:, None, :]
+    lo = (inst.aabb_min[None, :, :] - o) * i   # (R, I, 3)
+    hi = (inst.aabb_max[None, :, :] - o) * i
+    tn = jnp.max(jnp.minimum(lo, hi), axis=-1)
+    tf = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    hit = (tn <= tf) & (tf >= 0.0) & (tn < t_best[:, None])
+    return jnp.where(hit, tn, INF)
+
+
+def _next_candidate(entry, last_t, last_id):
+    """Per ray: the lexicographically smallest (entry_t, id) strictly after
+    (last_t, last_id) — rays inside several AABBs see equal entry times, so
+    the id breaks ties to enumerate every overlap exactly once."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, entry.shape, 1)
+    after = (entry > last_t[:, None]) | (
+        (entry == last_t[:, None]) & (ids > last_id[:, None])
+    )
+    key = jnp.where(after & (entry < INF), entry, INF)
+    nt = jnp.min(key, axis=1)
+    ni = jnp.argmin(key, axis=1).astype(jnp.int32)
+    return nt, jnp.where(nt < INF, ni, -1)
+
+
+def _transform_rays(inst: InstanceTable, iid, origin, direction):
+    w2o = inst.world_to_object[jnp.maximum(iid, 0)]     # (R, 3, 4)
+    m = w2o[:, :, :3]
+    o_obj = jnp.einsum("rij,rj->ri", m, origin) + w2o[:, :, 3]
+    d_obj = jnp.einsum("rij,rj->ri", m, direction)      # NOT normalized
+    return o_obj, d_obj
+
+
+def _two_level(
+    accel: InstancedAccel,
+    tri_material,
+    origin,
+    direction,
+    t_max,
+    seed,
+    alpha_ctx: Optional[AlphaCtx],
+    cull_backface: bool,
+    any_hit_mode: bool,
+    active: Optional[jax.Array],
+):
+    r = origin.shape[0]
+    if seed is None:
+        seed = jnp.zeros((r,), jnp.uint32)
+    act = jnp.ones((r,), bool) if active is None else active
+
+    def round_body(carry):
+        t_best, tri, u, v, ibest, seed, last_t, last_id, steps, _ = carry
+        entry = _instance_slab(accel.inst, origin, direction, t_best)
+        nt, nid = _next_candidate(entry, last_t, last_id)
+        has = act & (nid >= 0)
+        if any_hit_mode:
+            has = has & (tri < 0)  # stop after any accepted hit
+        o_obj, d_obj = _transform_rays(accel.inst, nid, origin, direction)
+        root = accel.mesh_root[accel.inst.mesh_id[jnp.maximum(nid, 0)]]
+        hit, seed = _traverse_wide(
+            accel.blas, tri_material, o_obj, d_obj, t_best, seed, alpha_ctx,
+            cull_backface=cull_backface, any_hit_mode=any_hit_mode,
+            active_in=has, root0=root,
+        )
+        upd = has & (hit.tri >= 0)
+        t_best = jnp.where(upd, hit.t, t_best)
+        tri = jnp.where(upd, hit.tri, tri)
+        u = jnp.where(upd, hit.u, u)
+        v = jnp.where(upd, hit.v, v)
+        ibest = jnp.where(upd, nid, ibest)
+        last_t = jnp.where(has, nt, last_t)
+        last_id = jnp.where(has, nid, last_id)
+        steps = steps + hit.steps + has.astype(jnp.int32)
+        # Another round is needed if any lane could still have a candidate.
+        entry2 = _instance_slab(accel.inst, origin, direction, t_best)
+        nt2, nid2 = _next_candidate(entry2, last_t, last_id)
+        more = act & (nid2 >= 0)
+        if any_hit_mode:
+            more = more & (tri < 0)
+        return t_best, tri, u, v, ibest, seed, last_t, last_id, steps, jnp.any(more)
+
+    init = (
+        t_max,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.int32),
+        seed,
+        jnp.full((r,), _NEG),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.int32),
+        jnp.asarray(True),
+    )
+    out = jax.lax.while_loop(lambda c: c[-1], round_body, init)
+    t_best, tri, u, v, ibest, seed, _, _, steps, _ = out
+    t_out = jnp.where(tri >= 0, t_best, INF)
+    return Hit(t=t_out, tri=tri, u=u, v=v, steps=steps, inst=ibest), seed
+
+
+def closest_hit_instanced(
+    accel: InstancedAccel,
+    tri_material,
+    origin,
+    direction,
+    seed=None,
+    alpha_ctx: Optional[AlphaCtx] = None,
+    active=None,
+    t_max=None,
+):
+    if t_max is None:
+        t_max = jnp.full(origin.shape[:1], INF)
+    return _two_level(
+        accel, tri_material, origin, direction, t_max, seed, alpha_ctx,
+        cull_backface=True, any_hit_mode=False, active=active,
+    )
+
+
+def any_hit_instanced(
+    accel: InstancedAccel,
+    tri_material,
+    origin,
+    direction,
+    t_max,
+    seed=None,
+    alpha_ctx: Optional[AlphaCtx] = None,
+    active=None,
+):
+    hit, seed = _two_level(
+        accel, tri_material, origin, direction, t_max, seed, alpha_ctx,
+        cull_backface=False, any_hit_mode=True, active=active,
+    )
+    return hit.tri >= 0, seed

@@ -64,6 +64,9 @@ class Hit(NamedTuple):
     steps: jax.Array  # (R,) i32 visited-node count (heatmap/profiling; the
                       # analog of the reference's shader-clock heatmap,
                       # pathtrace.rgen:66-93)
+    inst: Optional[jax.Array] = None  # (R,) i32 instance id (two-level
+                      # traversal only, ops/tlas.py; the analog of
+                      # gl_InstanceID/instanceCustomIndex, pathtrace.rchit)
 
 
 def _i2f(x: jax.Array) -> jax.Array:

@@ -116,6 +116,7 @@ def _traverse_wide(
     cull_backface: bool,
     any_hit_mode: bool,
     active_in: Optional[jax.Array],
+    root0: Optional[jax.Array] = None,
 ):
     rows = wide.rows
     n_rows = rows.shape[0]
@@ -126,7 +127,12 @@ def _traverse_wide(
         direction,
     )
 
-    cur0 = jnp.zeros((r,), jnp.int32)  # root is interior row 0
+    if root0 is None:
+        cur0 = jnp.zeros((r,), jnp.int32)  # root is interior row 0
+    else:
+        # Per-lane roots: the two-level path (ops/tlas.py) starts each lane
+        # at its instance's BLAS root inside the concatenated row table.
+        cur0 = jnp.broadcast_to(root0, (r,)).astype(jnp.int32)
     if active_in is not None:
         cur0 = jnp.where(active_in, cur0, TERM)
     if seed is None:
