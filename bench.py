@@ -46,6 +46,77 @@ WARMUP_FRAMES = 1
 ITERS = 2
 
 
+def main_multichip(n_virtual: int | None):
+    """``bench.py --multichip [N]``: the same atrium workload through the
+    tile-sharded multi-chip path (``parallel/sharding.py``). With more than
+    one real device visible it runs on the hardware mesh; ``N`` forces a
+    virtual N-device CPU mesh instead (scaling smoke test — absolute numbers
+    are then CPU numbers and only the per-chip ray split is meaningful).
+    SURVEY.md §2.3: tile axis = pixel parallelism, no hot-path collectives.
+    """
+    if n_virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_virtual}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import jax.numpy as jnp
+
+    from vk_raytrace_tpu.models import procedural
+    from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
+    from vk_raytrace_tpu import render as R
+    from vk_raytrace_tpu.parallel import sharding as sh
+
+    t_start = time.time()
+    n_dev = len(jax.devices())
+    # Virtual CPU meshes get a tiny frame; real chips get the full 1080p.
+    w, h = (512, 256) if n_virtual else (W, H)
+    geom, mats, lights, cam, atlas = procedural.atrium_scene()
+    scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
+    cfg = RenderConfig(
+        width=w, height=h, max_depth=4, max_samples=1,
+        pbr_mode=PBR_GLTF, firefly_clamp=10.0, use_sun_sky=True,
+    )
+    mesh = sh.make_mesh()
+    scene_r = sh.replicate(mesh, R.Renderer(scene, cfg).scene)
+    packed_r = sh.replicate(mesh, R.Renderer(scene, cfg).packed)
+    step = sh.sharded_render_step(
+        mesh, scene_r, packed_r, cfg, R.scene_has_alpha(scene_r)
+    )
+    accum = sh.shard_accum(mesh, jnp.zeros((h, w, 3), jnp.float32))
+    accum = step(accum, jnp.int32(0))
+    jax.block_until_ready(accum)
+    t_warm = time.time() - t_start
+    t0 = time.perf_counter()
+    for f in range(ITERS):
+        accum = step(accum, jnp.int32(1 + f))
+    jax.block_until_ready(accum)
+    dt = time.perf_counter() - t0
+    # Rays/frame ~= pixels * (1 primary + (depth-1) bounces + depth shadow)
+    # per sample-shard; the sharded path does not thread exact in-integrator
+    # counts through the collective, so this reports pixel throughput too.
+    pix_s = w * h * ITERS / dt
+    print(json.dumps({
+        "metric": "atrium_multichip_pixels_per_sec",
+        "value": round(pix_s / 1e6, 4),
+        "unit": "Mpix/s",
+        "vs_baseline": None,
+        "extra": {
+            "devices": n_dev,
+            "mesh": dict(mesh.shape),
+            "virtual_cpu": bool(n_virtual),
+            "size": [w, h],
+            "s_per_frame": round(dt / ITERS, 3),
+            "warmup_s": round(t_warm, 1),
+        },
+    }))
+
+
 def main():
     import jax
 
@@ -108,4 +179,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--multichip" in sys.argv:
+        i = sys.argv.index("--multichip")
+        n = None
+        if i + 1 < len(sys.argv) and sys.argv[i + 1].isdigit():
+            n = int(sys.argv[i + 1])
+        if n is None and len(__import__("jax").devices()) == 1:
+            n = 8  # single-chip harness: default to the virtual CPU mesh
+        main_multichip(n)
+    else:
+        main()
