@@ -221,10 +221,15 @@ class AccelBundle(NamedTuple):
     alpha test costs ~7x); the usually-small alpha set gets its own BVH,
     traversed with the opaque hit distance as t_max so it is doubly pruned.
     ``alpha`` is None for fully opaque scenes.
+
+    ``opaque_planar`` is the lane-permuted copy of the opaque rows consumed
+    by the fused Pallas traversal (ops/traverse_fused.py); None falls back
+    to the XLA body everywhere.
     """
 
     opaque: WideScene
     alpha: WideScene | None
+    opaque_planar: object | None = None
 
 
 def _wide_native(
@@ -245,6 +250,14 @@ def _wide_native(
     return WideScene(rows=jnp.asarray(rows), stack_depth=_stack_bound(rows))
 
 
+def _with_planar(bundle: AccelBundle) -> AccelBundle:
+    """Attach the fused-kernel planar copy of the opaque rows (one host-side
+    lane permutation; ~nothing next to the SAH build)."""
+    from .traverse_fused import planarize
+
+    return bundle._replace(opaque_planar=planarize(bundle.opaque))
+
+
 def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBundle:
     """Split the scene by the per-triangle alpha flag and build the wide
     structure(s). Prefers the native SAH builder; falls back to the device
@@ -257,10 +270,12 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     if not alpha_mask.any():
         wide = _wide_native(geom)
         if wide is not None:
-            return AccelBundle(opaque=wide, alpha=None)
+            return _with_planar(AccelBundle(opaque=wide, alpha=None))
         if bvh_full is None:
             bvh_full = build_bvh(geom.positions, geom.indices)
-        return AccelBundle(opaque=collapse_bvh8(bvh_full, geom), alpha=None)
+        return _with_planar(
+            AccelBundle(opaque=collapse_bvh8(bvh_full, geom), alpha=None)
+        )
 
     def subset(mask: np.ndarray) -> tuple[Geometry, np.ndarray]:
         ids = np.where(mask)[0]
@@ -285,10 +300,10 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     wide_o = _wide_native(geo_o, tri_ids=ids_o)
     wide_a = _wide_native(geo_a, tri_ids=ids_a)
     if wide_o is not None and wide_a is not None:
-        return AccelBundle(opaque=wide_o, alpha=wide_a)
+        return _with_planar(AccelBundle(opaque=wide_o, alpha=wide_a))
     bvh_o = build_bvh(geo_o.positions, geo_o.indices)
     bvh_a = build_bvh(geo_a.positions, geo_a.indices)
-    return AccelBundle(
+    return _with_planar(AccelBundle(
         opaque=collapse_bvh8(bvh_o, geo_o, tri_ids=ids_o),
         alpha=collapse_bvh8(bvh_a, geo_a, tri_ids=ids_a),
-    )
+    ))

@@ -1,0 +1,505 @@
+"""Fused 8-wide traversal: the Pallas/Mosaic production step kernel.
+
+The XLA elementwise body of ``ops/traverse_wide.py`` is correct but pays a
+materialization tax: comparator passes and one-hot stack updates each cost
+an (R, k) HBM round trip, measured ~20 ms per (step x 1M rays) against
+~7.7 ms for the row gather itself. The gather is a hardware path Pallas
+cannot beat — it STAYS in XLA; this module fuses everything else about a
+traversal step — 8-way slab test, child ordering, stack push/pop,
+4-triangle Moller-Trumbore, best-hit update — into ONE VMEM-resident
+kernel, so the per-step HBM traffic drops to the gathered row plus one
+read+write of the traversal state.
+
+Design points (all dictated by Mosaic/TPU lowering):
+
+* **Attr-major layout**: inside the kernel children/attributes live on
+  SUBLANES and rays on LANES, so every op runs full-width on the VPU. The
+  persistent state is kept transposed in HBM between steps ((C, R) meta,
+  (D, R) stack); only ``cur`` stays ray-major to feed the XLA gather.
+* **Planar rows**: the unified row table is lane-permuted once per scene
+  (:func:`planarize`) so the kernel reads contiguous sublane slices —
+  Mosaic has no cheap strided sublane gather. Interior rows become
+  [bmin.x x8 | bmin.y x8 | ... | bmax.z x8 | refs x8]; leaf rows become
+  attribute-planar [attr0 of tris 0..3 | attr1 ... ].
+* **Bitonic child ordering on sublanes**: the (size, stride) network with
+  ``pltpu.roll`` partner exchange replaces 19 materialized comparator
+  passes of the XLA body.
+
+Semantics match ``_traverse_wide`` for OPAQUE trees (``alpha_ctx=None``):
+backface culling by the double-sided flag, any-hit early termination.
+The AccelBundle opaque/alpha split (ops/bvh8.py) routes alpha-cutout
+geometry through the XLA path, so the fused kernel serves the hot passes:
+opaque closest-hit and opaque shadow rays (traceray_rq.glsl:108-147
+semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .traverse import INF, Hit
+
+# Must match ops/traverse_wide.py (not imported: bvh8 -> this module ->
+# traverse_wide -> bvh8 would be a cycle). Plain Python scalars: pallas
+# kernels may not capture traced (jnp) constants.
+TERM = -(2**30)
+_INF = float(INF) if not isinstance(INF, float) else INF
+_ROOT_INF = 3.0e38
+
+BLK = 4096          # rays per kernel block: row 1 MB + stack ~0.9 MB in VMEM
+_META = 8           # depth, t_best, tri_best, u, v, steps, pad, pad
+_M_DEPTH, _M_T, _M_TRI, _M_U, _M_V, _M_STEPS = 0, 1, 2, 3, 4, 5
+
+
+@jax.tree_util.register_pytree_node_class
+class PlanarScene:
+    """Lane-permuted row table for the fused kernel (see module docstring).
+    ``stack_depth`` is static pytree aux data (it shapes the kernel)."""
+
+    def __init__(self, rows: jax.Array, stack_depth: int):
+        self.rows = rows            # (X, 64) f32, planar layout
+        self.stack_depth = int(stack_depth)
+
+    def tree_flatten(self):
+        return (self.rows,), (self.stack_depth,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], stack_depth=aux[0])
+
+
+def _interior_mask(rows: np.ndarray) -> np.ndarray:
+    """BFS from the root over child refs: which unified rows are interior.
+    (The unified table interleaves interior and leaf rows; only the refs
+    distinguish them.)"""
+    n = len(rows)
+    interior = np.zeros(n, bool)
+    frontier = np.array([0], np.int64)
+    interior[0] = True
+    while len(frontier):
+        r = rows[frontier]                      # (F, 64)
+        valid = r[:, 0:48:6] <= r[:, 3:48:6]    # (F, 8) slot occupied
+        refs = r[:, 48:56]
+        kid_int = refs[valid & (refs >= 0.5)].astype(np.int64)
+        kid_int = np.unique(kid_int)
+        new = kid_int[~interior[kid_int]]
+        interior[new] = True
+        frontier = new
+    return interior
+
+
+_PERM_INT = np.empty(64, np.int64)
+for _c in range(8):
+    for _k in range(6):
+        _PERM_INT[_k * 8 + _c] = _c * 6 + _k    # new lane k*8+c <- old c*6+k
+    _PERM_INT[48 + _c] = 48 + _c
+    _PERM_INT[56 + _c] = 56 + _c
+_PERM_LEAF = np.empty(64, np.int64)
+for _t in range(4):
+    for _a in range(16):
+        _PERM_LEAF[_a * 4 + _t] = _t * 16 + _a  # new lane a*4+t <- old t*16+a
+
+
+def planarize(wide) -> PlanarScene:
+    """One-time lane permutation of a :class:`~.bvh8.WideScene` row table
+    into the fused kernel's planar layout (host numpy, O(rows))."""
+    rows = np.asarray(wide.rows)
+    interior = _interior_mask(rows)
+    out = np.empty_like(rows)
+    out[interior] = rows[interior][:, _PERM_INT]
+    out[~interior] = rows[~interior][:, _PERM_LEAF]
+    return PlanarScene(rows=jnp.asarray(out), stack_depth=int(wide.stack_depth))
+
+
+def _bitonic8(key, ref, sub):
+    """Ascending bitonic sort of 8 sublanes, payload rides along."""
+    for size, stride in ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1)):
+        is_low = (sub & stride) == 0
+        down_k = (8 - stride) % 8
+        pk = jnp.where(is_low, pltpu.roll(key, down_k, 0), pltpu.roll(key, stride, 0))
+        pr = jnp.where(is_low, pltpu.roll(ref, down_k, 0), pltpu.roll(ref, stride, 0))
+        asc = (sub & size) == 0 if size < 8 else sub >= 0
+        keep_min = is_low == asc
+        take = (keep_min & (pk < key)) | (jnp.logical_not(keep_min) & (pk > key))
+        key = jnp.where(take, pk, key)
+        ref = jnp.where(take, pr, ref)
+    return key, ref
+
+
+def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int):
+    def kern(row_ref, o_ref, d_ref, i_ref, cur_ref, meta_ref, stack_ref,
+             ncur_ref, nmeta_ref, nstack_ref):
+        rowT = row_ref[:].T                     # one in-VMEM transpose
+        cur = cur_ref[:]                        # (1, B) i32
+        depth = meta_ref[_M_DEPTH:_M_DEPTH + 1, :].astype(jnp.int32)
+        t_best = meta_ref[_M_T:_M_T + 1, :]
+
+        active = cur != TERM
+        is_wide = active & (cur >= 0)
+        is_leaf = active & (cur < 0)
+
+        ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+        dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+        ix, iy, iz = i_ref[0:1, :], i_ref[1:2, :], i_ref[2:3, :]
+
+        # ---- interior: 8-way slab test (children on sublanes) ------------
+        bxm, bym, bzm = rowT[0:8], rowT[8:16], rowT[16:24]
+        bxM, byM, bzM = rowT[24:32], rowT[32:40], rowT[40:48]
+        child_ref = rowT[48:56]
+        lx = (bxm - ox) * ix
+        hx = (bxM - ox) * ix
+        ly = (bym - oy) * iy
+        hy = (byM - oy) * iy
+        lz = (bzm - oz) * iz
+        hz = (bzM - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(lx, hx), jnp.minimum(ly, hy)),
+            jnp.minimum(lz, hz),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(lx, hx), jnp.maximum(ly, hy)),
+            jnp.maximum(lz, hz),
+        )
+        hit_c = (bxm <= bxM) & (tn <= tf) & (tf >= 0.0) & (tn < t_best)
+        key = jnp.where(hit_c, tn, _INF)
+
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+        skey, sref = _bitonic8(key, child_ref, sub8)
+        near_ref = sref[0:1, :].astype(jnp.int32)
+        has_child = skey[0:1, :] < _INF
+        n_valid = jnp.sum((skey < _INF).astype(jnp.int32), axis=0, keepdims=True)
+
+        # ---- stack push: ONE fused (D, B) pass ---------------------------
+        lane_d = jax.lax.broadcasted_iota(jnp.int32, (stack_depth, cur.shape[1]), 0)
+        jj = lane_d - depth
+        kk = (n_valid - 1) - jj
+        val = jnp.zeros((stack_depth, cur.shape[1]), jnp.float32)
+        for c in range(1, 8):
+            val = val + sref[c:c + 1, :] * (kk == c)
+        do_push = is_wide & has_child
+        push_sel = do_push & (jj >= 0) & (kk >= 1)
+        stack_old = stack_ref[:]
+        new_stack = jnp.where(push_sel, val.astype(jnp.int32), stack_old)
+        n_push = jnp.where(do_push, n_valid - 1, 0)
+        new_depth = jnp.minimum(depth + n_push, stack_depth)
+
+        # ---- leaf: 4-triangle Moller-Trumbore (triangles on sublanes) ----
+        vleaf = -cur - 1
+        leaf_cnt = (vleaf & 3) + 1
+
+        def attr(a):
+            return rowT[a * 4:(a + 1) * 4]
+
+        p0x, p0y, p0z = attr(0), attr(1), attr(2)
+        p1x, p1y, p1z = attr(3), attr(4), attr(5)
+        p2x, p2y, p2z = attr(6), attr(7), attr(8)
+        tmeta = attr(15).astype(jnp.int32)
+        orig = tmeta >> 2
+        flags = tmeta & 0x3
+
+        e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+        e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_ok = jnp.abs(det) > 1e-12
+        if cull_backface:
+            facing_ok = ((flags & 1) != 0) | (det > 1e-12)
+        else:
+            facing_ok = det_ok
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        tri_lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+        geo_hit = (
+            is_leaf
+            & (tri_lane < leaf_cnt)
+            & det_ok
+            & facing_ok
+            & (uu >= 0.0)
+            & (vv >= 0.0)
+            & (uu + vv <= 1.0)
+            & (tt > 0.0)
+            & (tt < t_best)
+        )
+
+        t_cand = jnp.where(geo_hit, tt, _INF)
+        o_cand = orig.astype(jnp.float32)
+        u_cand, v_cand = uu, vv
+
+        def fold(k, t, o, u, v):
+            dk = (4 - k) % 4
+            t2 = pltpu.roll(t, dk, 0)
+            o2 = pltpu.roll(o, dk, 0)
+            u2 = pltpu.roll(u, dk, 0)
+            v2 = pltpu.roll(v, dk, 0)
+            take = t2 < t
+            return (
+                jnp.where(take, t2, t),
+                jnp.where(take, o2, o),
+                jnp.where(take, u2, u),
+                jnp.where(take, v2, v),
+            )
+
+        t_cand, o_cand, u_cand, v_cand = fold(2, t_cand, o_cand, u_cand, v_cand)
+        t_cand, o_cand, u_cand, v_cand = fold(1, t_cand, o_cand, u_cand, v_cand)
+        bt = t_cand[0:1, :]
+        upd = bt < t_best
+        new_t = jnp.where(upd, bt, t_best)
+        new_tri = jnp.where(upd, o_cand[0:1, :], meta_ref[_M_TRI:_M_TRI + 1, :])
+        new_u = jnp.where(upd, u_cand[0:1, :], meta_ref[_M_U:_M_U + 1, :])
+        new_v = jnp.where(upd, v_cand[0:1, :], meta_ref[_M_V:_M_V + 1, :])
+
+        # ---- next node ---------------------------------------------------
+        next_cur = jnp.where(is_wide & has_child, near_ref, TERM)
+        need_pop = active & ((is_wide & ~has_child) | is_leaf)
+        if any_hit_mode:
+            found = upd
+            need_pop = need_pop & ~found
+            next_cur = jnp.where(found, TERM, next_cur)
+        can_pop = need_pop & (depth > 0)
+        top = jnp.sum(
+            jnp.where(lane_d == depth - 1, stack_old, 0), axis=0, keepdims=True
+        )
+        next_cur = jnp.where(can_pop, top, next_cur)
+        new_depth = new_depth - can_pop.astype(jnp.int32)
+
+        ncur_ref[:] = next_cur
+        nstack_ref[:] = new_stack
+        nmeta_ref[_M_DEPTH:_M_DEPTH + 1, :] = new_depth.astype(jnp.float32)
+        nmeta_ref[_M_T:_M_T + 1, :] = new_t
+        nmeta_ref[_M_TRI:_M_TRI + 1, :] = new_tri
+        nmeta_ref[_M_U:_M_U + 1, :] = new_u
+        nmeta_ref[_M_V:_M_V + 1, :] = new_v
+        nmeta_ref[_M_STEPS:_M_STEPS + 1, :] = (
+            meta_ref[_M_STEPS:_M_STEPS + 1, :] + active.astype(jnp.float32)
+        )
+        nmeta_ref[6:8, :] = meta_ref[6:8, :]
+
+    return kern
+
+
+def _pad_to_block(r: int) -> int:
+    return max(BLK, (r + BLK - 1) // BLK * BLK)
+
+
+def _interpret_mode() -> bool:
+    """Compiled Mosaic on TPU; Pallas interpreter everywhere else (CPU tests
+    exercise the same kernel code path)."""
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
+
+
+def _step(rows, kern, stack_depth, o4, d4, i4, cur, meta, stack):
+    r = cur.shape[1]
+    n_rows = rows.shape[0]
+    vleaf = -cur[0] - 1
+    row_id = jnp.where(cur[0] >= 0, cur[0], vleaf >> 2)
+    row_id = jnp.clip(jnp.where(cur[0] == TERM, 0, row_id), 0, n_rows - 1)
+    row = rows[row_id]                          # THE gather (XLA hardware path)
+
+    def cmaj(nr):
+        return pl.BlockSpec((nr, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kern,
+        grid=(r // BLK,),
+        in_specs=[
+            pl.BlockSpec((BLK, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(_META), cmaj(stack_depth),
+        ],
+        out_specs=[cmaj(1), cmaj(_META), cmaj(stack_depth)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+            jax.ShapeDtypeStruct((_META, r), jnp.float32),
+            jax.ShapeDtypeStruct((stack_depth, r), jnp.int32),
+        ],
+        interpret=_interpret_mode(),
+    )(row, o4, d4, i4, cur, meta, stack)
+
+
+def _traverse_fused(
+    planar: PlanarScene,
+    origin: jax.Array,        # (R, 3)
+    direction: jax.Array,     # (R, 3)
+    t_max: jax.Array,         # (R,)
+    cull_backface: bool,
+    any_hit_mode: bool,
+    active_in: Optional[jax.Array],
+) -> Hit:
+    rows = planar.rows
+    stack_depth = planar.stack_depth
+    r_in = origin.shape[0]
+    r = _pad_to_block(r_in)
+
+    def pad_rm(a, fill=0.0):
+        if a.shape[0] == r:
+            return a
+        pw = [(0, r - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pw, constant_values=fill)
+
+    origin_p = pad_rm(origin)
+    direction_p = pad_rm(direction, 1.0)
+    t_max_p = pad_rm(t_max)
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(direction_p) < 1e-20,
+        jnp.where(direction_p < 0, -1e-20, 1e-20),
+        direction_p,
+    )
+
+    # Transposed (4, R) ray params; row 3 is padding for the (8,128) tile.
+    def t4(a):
+        return jnp.concatenate([a.T, jnp.zeros((1, r), a.dtype)], axis=0)
+
+    o4, d4, i4 = t4(origin_p), t4(direction_p), t4(inv_d)
+
+    cur0 = jnp.zeros((r,), jnp.int32)
+    # Root-AABB prefilter (same as ops/traverse_wide.py): planar interior
+    # layout keeps bmin in lanes 0..23, bmax in 24..47, 8 per axis.
+    rb = rows[0]
+    valid = rb[0:8] <= rb[24:32]
+    big = jnp.float32(_ROOT_INF)
+    rmin = jnp.stack([
+        jnp.min(jnp.where(valid, rb[k * 8:(k + 1) * 8], big)) for k in range(3)
+    ])
+    rmax = jnp.stack([
+        jnp.max(jnp.where(valid, rb[24 + k * 8:24 + (k + 1) * 8], -big))
+        for k in range(3)
+    ])
+    lo = (rmin[None, :] - origin_p) * inv_d
+    hi = (rmax[None, :] - origin_p) * inv_d
+    tn0 = jnp.max(jnp.minimum(lo, hi), axis=1)
+    tf0 = jnp.min(jnp.maximum(lo, hi), axis=1)
+    hit_root = (tn0 <= tf0) & (tf0 >= 0.0) & (tn0 < t_max_p)
+    cur0 = jnp.where(hit_root, cur0, TERM)
+    if active_in is not None:
+        cur0 = jnp.where(pad_rm(active_in, False), cur0, TERM)
+    if r != r_in:
+        lane = jnp.arange(r)
+        cur0 = jnp.where(lane < r_in, cur0, TERM)
+
+    meta0 = jnp.zeros((_META, r), jnp.float32)
+    meta0 = meta0.at[_M_T].set(t_max_p)
+    meta0 = meta0.at[_M_TRI].set(-1.0)
+    stack0 = jnp.zeros((stack_depth, r), jnp.int32)
+
+    kern = _make_step_kernel(cull_backface, any_hit_mode, stack_depth)
+    step = functools.partial(_step, rows, kern, stack_depth)
+
+    chunk_len = 4 if rows.shape[0] < 1024 else 8
+
+    def run_phase(state, o4, d4, i4, live_floor):
+        def chunk(s):
+            def sbody(ss, _):
+                return step(o4, d4, i4, *ss), None
+            s, _ = jax.lax.scan(sbody, s, None, length=chunk_len)
+            return s
+
+        if live_floor <= 0:
+            cond = lambda s: jnp.any(s[0] != TERM)
+        else:
+            cond = lambda s: jnp.sum(s[0] != TERM) > live_floor
+        return jax.lax.while_loop(cond, chunk, state)
+
+    def compact(state, o4, d4, i4, size):
+        cur, meta, stack = state
+        full = cur.shape[1]
+        (idx,) = jnp.nonzero(cur[0] != TERM, size=size, fill_value=full)
+        safe = jnp.minimum(idx, full - 1)
+        valid = idx < full
+        sub_cur = jnp.where(valid, cur[:, safe], TERM)
+        sub = (sub_cur, meta[:, safe], stack[:, safe])
+        return sub, o4[:, safe], d4[:, safe], i4[:, safe], idx
+
+    def merge(state, sub, idx):
+        cur, meta, stack = state
+        meta = meta.T.at[idx].set(sub[1].T, mode="drop").T
+        return (cur, meta, stack)
+
+    state = (cur0[None, :], meta0, stack0)
+    if r >= 1 << 15:
+        oc, dc, ic = o4, d4, i4
+        merges = []
+        cur_state = state
+        for div in (4, 16, 64):
+            size = max(1 << 12, (r // div + BLK - 1) // BLK * BLK)
+            cur_state = run_phase(cur_state, oc, dc, ic, size)
+            sub, oc, dc, ic, idx = compact(cur_state, oc, dc, ic, size)
+            merges.append((cur_state, idx))
+            cur_state = sub
+        cur_state = run_phase(cur_state, oc, dc, ic, 0)
+        for outer, idx in reversed(merges):
+            cur_state = merge(outer, cur_state, idx)
+        state = cur_state
+    else:
+        state = run_phase(state, o4, d4, i4, 0)
+
+    _, meta, _ = state
+    t_best = meta[_M_T, :r_in]
+    tri = meta[_M_TRI, :r_in].astype(jnp.int32)
+    return Hit(
+        t=jnp.where(tri >= 0, t_best, INF),
+        tri=tri,
+        u=meta[_M_U, :r_in],
+        v=meta[_M_V, :r_in],
+        steps=meta[_M_STEPS, :r_in].astype(jnp.int32),
+    )
+
+
+def closest_hit_fused(
+    planar: PlanarScene,
+    origin: jax.Array,
+    direction: jax.Array,
+    active: Optional[jax.Array] = None,
+    t_max: Optional[jax.Array] = None,
+) -> Hit:
+    if t_max is None:
+        t_max = jnp.full(origin.shape[:1], INF)
+    return _traverse_fused(
+        planar, origin, direction, t_max,
+        cull_backface=True, any_hit_mode=False, active_in=active,
+    )
+
+
+def any_hit_fused(
+    planar: PlanarScene,
+    origin: jax.Array,
+    direction: jax.Array,
+    t_max: jax.Array,
+    active: Optional[jax.Array] = None,
+) -> jax.Array:
+    hit = _traverse_fused(
+        planar, origin, direction, t_max,
+        cull_backface=False, any_hit_mode=True, active_in=active,
+    )
+    return hit.tri >= 0
+
+
+def enabled() -> bool:
+    """Fused path policy: TPU by default, off via VKRT_FUSED=0, forced on
+    (interpret mode, for tests) via VKRT_FUSED=1."""
+    v = os.environ.get("VKRT_FUSED", "")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
