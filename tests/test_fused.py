@@ -29,10 +29,34 @@ def cornell():
     return geom, bundle
 
 
+def test_default_planar_is_16_wide(cornell):
+    # With the native library present the bundle carries the 512B-row
+    # 16-wide planar structure (native.cpp::build_bvh16).
+    geom, bundle = cornell
+    assert bundle.opaque_planar is not None
+    assert bundle.opaque_planar.width == 16
+    assert bundle.opaque_planar.rows.shape[1] == 128
+
+
+@pytest.mark.parametrize("width", [8, 16])
+def test_closest_hit_both_widths(width, cornell):
+    geom, bundle = cornell
+    planar = (tf.planarize(bundle.opaque) if width == 8
+              else tf.planar16_native(geom))
+    assert planar is not None and planar.width == width
+    o, d = _rays(257, 7, jnp.array([0.0, 1.0, 0.0]), 0.9)
+    hit_x, _ = tw.closest_hit_wide(bundle.opaque, geom.tri_material, o, d)
+    hit_f = tf.closest_hit_fused(planar, o, d)
+    np.testing.assert_array_equal(np.asarray(hit_f.tri), np.asarray(hit_x.tri))
+    np.testing.assert_allclose(
+        np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_planarize_roundtrip(cornell):
     geom, bundle = cornell
     rows = np.asarray(bundle.opaque.rows)
-    planar = np.asarray(bundle.opaque_planar.rows)
+    planar = np.asarray(tf.planarize(bundle.opaque).rows)
     interior = tf._interior_mask(rows)
     assert interior[0]
     # Interior: bmin.x of child c moved from lane c*6 to lane c.
@@ -57,7 +81,7 @@ def test_bitonic8_sorts():
 
     def kern(k_ref, r_ref, ok_ref, or_ref):
         sub = jax.lax.broadcasted_iota(jnp.int32, k_ref.shape, 0)
-        k, r = tf._bitonic8(k_ref[:], r_ref[:], sub)
+        k, r = tf._bitonic(k_ref[:], r_ref[:], sub, 8)
         ok_ref[:] = k
         or_ref[:] = r
 

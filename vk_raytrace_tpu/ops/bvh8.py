@@ -250,12 +250,25 @@ def _wide_native(
     return WideScene(rows=jnp.asarray(rows), stack_depth=_stack_bound(rows))
 
 
-def _with_planar(bundle: AccelBundle) -> AccelBundle:
-    """Attach the fused-kernel planar copy of the opaque rows (one host-side
-    lane permutation; ~nothing next to the SAH build)."""
-    from .traverse_fused import planarize
+def _with_planar(
+    bundle: AccelBundle, geom_o: Geometry | None = None,
+    ids_o: np.ndarray | None = None,
+) -> AccelBundle:
+    """Attach the fused-kernel planar structure for the opaque set. Prefers
+    a native 16-wide 512-byte-row SAH build (same flat per-row gather cost
+    as 256B on v5e => ~half the gathers per ray); falls back to a lane
+    permutation of the existing 8-wide table."""
+    from .traverse_fused import planar16_native, planarize
 
-    return bundle._replace(opaque_planar=planarize(bundle.opaque))
+    planar = None
+    if geom_o is not None:
+        try:
+            planar = planar16_native(geom_o, tri_ids=ids_o)
+        except Exception:
+            planar = None
+    if planar is None:
+        planar = planarize(bundle.opaque)
+    return bundle._replace(opaque_planar=planar)
 
 
 def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBundle:
@@ -270,11 +283,11 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     if not alpha_mask.any():
         wide = _wide_native(geom)
         if wide is not None:
-            return _with_planar(AccelBundle(opaque=wide, alpha=None))
+            return _with_planar(AccelBundle(opaque=wide, alpha=None), geom)
         if bvh_full is None:
             bvh_full = build_bvh(geom.positions, geom.indices)
         return _with_planar(
-            AccelBundle(opaque=collapse_bvh8(bvh_full, geom), alpha=None)
+            AccelBundle(opaque=collapse_bvh8(bvh_full, geom), alpha=None), geom
         )
 
     def subset(mask: np.ndarray) -> tuple[Geometry, np.ndarray]:
@@ -300,10 +313,12 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     wide_o = _wide_native(geo_o, tri_ids=ids_o)
     wide_a = _wide_native(geo_a, tri_ids=ids_a)
     if wide_o is not None and wide_a is not None:
-        return _with_planar(AccelBundle(opaque=wide_o, alpha=wide_a))
+        return _with_planar(
+            AccelBundle(opaque=wide_o, alpha=wide_a), geo_o, ids_o
+        )
     bvh_o = build_bvh(geo_o.positions, geo_o.indices)
     bvh_a = build_bvh(geo_a.positions, geo_a.indices)
     return _with_planar(AccelBundle(
         opaque=collapse_bvh8(bvh_o, geo_o, tri_ids=ids_o),
         alpha=collapse_bvh8(bvh_a, geo_a, tri_ids=ids_a),
-    ))
+    ), geo_o, ids_o)

@@ -62,18 +62,22 @@ _M_DEPTH, _M_T, _M_TRI, _M_U, _M_V, _M_STEPS = 0, 1, 2, 3, 4, 5
 @jax.tree_util.register_pytree_node_class
 class PlanarScene:
     """Lane-permuted row table for the fused kernel (see module docstring).
-    ``stack_depth`` is static pytree aux data (it shapes the kernel)."""
+    ``stack_depth`` and ``width`` are static pytree aux data (they shape the
+    kernel). width=8: 64-lane/256B rows, 4-tri leaves (re-permuted from the
+    XLA 8-wide table); width=16: 128-lane/512B rows, 8-tri leaves (built
+    natively — same flat per-row gather cost, ~half the rows per ray)."""
 
-    def __init__(self, rows: jax.Array, stack_depth: int):
-        self.rows = rows            # (X, 64) f32, planar layout
+    def __init__(self, rows: jax.Array, stack_depth: int, width: int = 8):
+        self.rows = rows            # (X, width*8) f32, planar layout
         self.stack_depth = int(stack_depth)
+        self.width = int(width)
 
     def tree_flatten(self):
-        return (self.rows,), (self.stack_depth,)
+        return (self.rows,), (self.stack_depth, self.width)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], stack_depth=aux[0])
+        return cls(children[0], stack_depth=aux[0], width=aux[1])
 
 
 def _interior_mask(rows: np.ndarray) -> np.ndarray:
@@ -119,14 +123,39 @@ def planarize(wide) -> PlanarScene:
     return PlanarScene(rows=jnp.asarray(out), stack_depth=int(wide.stack_depth))
 
 
-def _bitonic8(key, ref, sub):
-    """Ascending bitonic sort of 8 sublanes, payload rides along."""
-    for size, stride in ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1)):
+def planar16_native(geom, tri_ids=None) -> "PlanarScene | None":
+    """Native binned-SAH 16-wide planar build (runtime/native.cpp
+    ``build_bvh16``); None when the native library is unavailable."""
+    from .. import runtime
+
+    out = runtime.build_bvh16_rows(
+        np.asarray(geom.positions),
+        np.asarray(geom.indices),
+        np.asarray(geom.uv),
+        np.asarray(geom.tri_flags),
+        tri_ids=tri_ids,
+    )
+    if out is None:
+        return None
+    rows, depth = out
+    return PlanarScene(rows=jnp.asarray(rows), stack_depth=depth, width=16)
+
+
+_STAGES = {
+    8: ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1)),
+    16: ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1),
+         (16, 8), (16, 4), (16, 2), (16, 1)),
+}
+
+
+def _bitonic(key, ref, sub, width):
+    """Ascending bitonic sort of ``width`` sublanes, payload rides along."""
+    for size, stride in _STAGES[width]:
         is_low = (sub & stride) == 0
-        down_k = (8 - stride) % 8
+        down_k = (width - stride) % width
         pk = jnp.where(is_low, pltpu.roll(key, down_k, 0), pltpu.roll(key, stride, 0))
         pr = jnp.where(is_low, pltpu.roll(ref, down_k, 0), pltpu.roll(ref, stride, 0))
-        asc = (sub & size) == 0 if size < 8 else sub >= 0
+        asc = (sub & size) == 0 if size < width else sub >= 0
         keep_min = is_low == asc
         take = (keep_min & (pk < key)) | (jnp.logical_not(keep_min) & (pk > key))
         key = jnp.where(take, pk, key)
@@ -134,7 +163,12 @@ def _bitonic8(key, ref, sub):
     return key, ref
 
 
-def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int):
+def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
+                      stack_depth: int, width: int = 8):
+    W = width
+    LT = W // 2                 # leaf triangles per row
+    CB = LT.bit_length() - 1    # leaf-count bits: 4 tris -> 2, 8 tris -> 3
+
     def kern(row_ref, o_ref, d_ref, i_ref, cur_ref, meta_ref, stack_ref,
              ncur_ref, nmeta_ref, nstack_ref):
         rowT = row_ref[:].T                     # one in-VMEM transpose
@@ -150,10 +184,10 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int)
         dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
         ix, iy, iz = i_ref[0:1, :], i_ref[1:2, :], i_ref[2:3, :]
 
-        # ---- interior: 8-way slab test (children on sublanes) ------------
-        bxm, bym, bzm = rowT[0:8], rowT[8:16], rowT[16:24]
-        bxM, byM, bzM = rowT[24:32], rowT[32:40], rowT[40:48]
-        child_ref = rowT[48:56]
+        # ---- interior: W-way slab test (children on sublanes) ------------
+        bxm, bym, bzm = rowT[0:W], rowT[W:2 * W], rowT[2 * W:3 * W]
+        bxM, byM, bzM = rowT[3 * W:4 * W], rowT[4 * W:5 * W], rowT[5 * W:6 * W]
+        child_ref = rowT[6 * W:7 * W]
         lx = (bxm - ox) * ix
         hx = (bxM - ox) * ix
         ly = (bym - oy) * iy
@@ -171,8 +205,8 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int)
         hit_c = (bxm <= bxM) & (tn <= tf) & (tf >= 0.0) & (tn < t_best)
         key = jnp.where(hit_c, tn, _INF)
 
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
-        skey, sref = _bitonic8(key, child_ref, sub8)
+        subw = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+        skey, sref = _bitonic(key, child_ref, subw, W)
         near_ref = sref[0:1, :].astype(jnp.int32)
         has_child = skey[0:1, :] < _INF
         n_valid = jnp.sum((skey < _INF).astype(jnp.int32), axis=0, keepdims=True)
@@ -182,7 +216,7 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int)
         jj = lane_d - depth
         kk = (n_valid - 1) - jj
         val = jnp.zeros((stack_depth, cur.shape[1]), jnp.float32)
-        for c in range(1, 8):
+        for c in range(1, W):
             val = val + sref[c:c + 1, :] * (kk == c)
         do_push = is_wide & has_child
         push_sel = do_push & (jj >= 0) & (kk >= 1)
@@ -191,12 +225,12 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int)
         n_push = jnp.where(do_push, n_valid - 1, 0)
         new_depth = jnp.minimum(depth + n_push, stack_depth)
 
-        # ---- leaf: 4-triangle Moller-Trumbore (triangles on sublanes) ----
+        # ---- leaf: LT-triangle Moller-Trumbore (triangles on sublanes) ---
         vleaf = -cur - 1
-        leaf_cnt = (vleaf & 3) + 1
+        leaf_cnt = (vleaf & (LT - 1)) + 1
 
         def attr(a):
-            return rowT[a * 4:(a + 1) * 4]
+            return rowT[a * LT:(a + 1) * LT]
 
         p0x, p0y, p0z = attr(0), attr(1), attr(2)
         p1x, p1y, p1z = attr(3), attr(4), attr(5)
@@ -242,7 +276,7 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int)
         u_cand, v_cand = uu, vv
 
         def fold(k, t, o, u, v):
-            dk = (4 - k) % 4
+            dk = (LT - k) % LT
             t2 = pltpu.roll(t, dk, 0)
             o2 = pltpu.roll(o, dk, 0)
             u2 = pltpu.roll(u, dk, 0)
@@ -255,8 +289,10 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool, stack_depth: int)
                 jnp.where(take, v2, v),
             )
 
-        t_cand, o_cand, u_cand, v_cand = fold(2, t_cand, o_cand, u_cand, v_cand)
-        t_cand, o_cand, u_cand, v_cand = fold(1, t_cand, o_cand, u_cand, v_cand)
+        k = LT // 2
+        while k >= 1:
+            t_cand, o_cand, u_cand, v_cand = fold(k, t_cand, o_cand, u_cand, v_cand)
+            k //= 2
         bt = t_cand[0:1, :]
         upd = bt < t_best
         new_t = jnp.where(upd, bt, t_best)
@@ -306,11 +342,13 @@ def _interpret_mode() -> bool:
         return True
 
 
-def _step(rows, kern, stack_depth, o4, d4, i4, cur, meta, stack):
+def _step(rows, kern, stack_depth, width, o4, d4, i4, cur, meta, stack):
     r = cur.shape[1]
     n_rows = rows.shape[0]
+    lanes = width * 8
+    leaf_bits = (width // 2).bit_length() - 1
     vleaf = -cur[0] - 1
-    row_id = jnp.where(cur[0] >= 0, cur[0], vleaf >> 2)
+    row_id = jnp.where(cur[0] >= 0, cur[0], vleaf >> leaf_bits)
     row_id = jnp.clip(jnp.where(cur[0] == TERM, 0, row_id), 0, n_rows - 1)
     row = rows[row_id]                          # THE gather (XLA hardware path)
 
@@ -321,7 +359,7 @@ def _step(rows, kern, stack_depth, o4, d4, i4, cur, meta, stack):
         kern,
         grid=(r // BLK,),
         in_specs=[
-            pl.BlockSpec((BLK, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
             cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(_META), cmaj(stack_depth),
         ],
         out_specs=[cmaj(1), cmaj(_META), cmaj(stack_depth)],
@@ -369,17 +407,18 @@ def _traverse_fused(
 
     o4, d4, i4 = t4(origin_p), t4(direction_p), t4(inv_d)
 
+    W = planar.width
     cur0 = jnp.zeros((r,), jnp.int32)
     # Root-AABB prefilter (same as ops/traverse_wide.py): planar interior
-    # layout keeps bmin in lanes 0..23, bmax in 24..47, 8 per axis.
+    # layout keeps bmin planes in lanes [0, 3W), bmax planes in [3W, 6W).
     rb = rows[0]
-    valid = rb[0:8] <= rb[24:32]
+    valid = rb[0:W] <= rb[3 * W:4 * W]
     big = jnp.float32(_ROOT_INF)
     rmin = jnp.stack([
-        jnp.min(jnp.where(valid, rb[k * 8:(k + 1) * 8], big)) for k in range(3)
+        jnp.min(jnp.where(valid, rb[k * W:(k + 1) * W], big)) for k in range(3)
     ])
     rmax = jnp.stack([
-        jnp.max(jnp.where(valid, rb[24 + k * 8:24 + (k + 1) * 8], -big))
+        jnp.max(jnp.where(valid, rb[(3 + k) * W:(4 + k) * W], -big))
         for k in range(3)
     ])
     lo = (rmin[None, :] - origin_p) * inv_d
@@ -399,8 +438,8 @@ def _traverse_fused(
     meta0 = meta0.at[_M_TRI].set(-1.0)
     stack0 = jnp.zeros((stack_depth, r), jnp.int32)
 
-    kern = _make_step_kernel(cull_backface, any_hit_mode, stack_depth)
-    step = functools.partial(_step, rows, kern, stack_depth)
+    kern = _make_step_kernel(cull_backface, any_hit_mode, stack_depth, W)
+    step = functools.partial(_step, rows, kern, stack_depth, W)
 
     chunk_len = 4 if rows.shape[0] < 1024 else 8
 

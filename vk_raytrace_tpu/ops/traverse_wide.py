@@ -389,8 +389,13 @@ def _traverse_wide(
     # Small chunks bound the minimum work per while-loop pass: shallow trees
     # (the alpha BVH is often ~100 rows) finish in a few steps and must not
     # be forced through a long unrolled scan; deep batches amortize the
-    # per-chunk cond reduction over more steps.
-    chunk_len = 4 if n_rows < 1024 else 8
+    # per-chunk cond reduction over more steps. The alpha body is ~10x the
+    # opaque body per step (texture taps + rng), and most lanes die on the
+    # root-prefiltered first step - chunk 1 lets the loop bail immediately.
+    if with_alpha:
+        chunk_len = 1
+    else:
+        chunk_len = 4 if n_rows < 1024 else 8
 
     def run_phase(state, o, d, invd, live_floor):
         """Run chunk_len-step chunks until fewer than ``live_floor`` rays

@@ -54,6 +54,7 @@ def _load():
         lib.rgbe_decode.restype = ctypes.c_int
         lib.alias_table_build.restype = ctypes.c_float
         lib.build_bvh8.restype = ctypes.c_int64
+        lib.build_bvh16.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = False
@@ -223,6 +224,50 @@ def build_bvh8_rows(
         if n > 0:
             assert n * 4 + 4 < 2**23, "scene too large for exact-f32 refs"
             return np.ascontiguousarray(rows[:n])
+    return None
+
+
+def build_bvh16_rows(
+    positions: np.ndarray,
+    indices: np.ndarray,
+    uv: np.ndarray,
+    tri_flags: np.ndarray,
+    tri_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, int] | None:
+    """Native binned-SAH build of the 16-wide PLANAR 512-byte rows consumed
+    by the fused Pallas traversal (ops/traverse_fused.py). Returns
+    ``(rows (n, 128) f32, stack_depth)`` or None without the native library.
+
+    Same hardware rationale as :func:`build_bvh8_rows` (accelstruct.cpp:
+    110-162 analog); the 16-wide format exists because v5e row gathers cost
+    the same per row at 512B as at 256B, halving per-ray gather counts.
+    """
+    lib = _load()
+    if not lib:
+        return None
+    positions = np.ascontiguousarray(positions, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    uv = np.ascontiguousarray(uv, np.float32)
+    tri_flags = np.ascontiguousarray(tri_flags, np.int32)
+    t = len(indices)
+    ids_arg = None
+    max_orig = t - 1
+    if tri_ids is not None:
+        tri_ids = np.ascontiguousarray(tri_ids, np.int32)
+        ids_arg = _ptr(tri_ids)
+        max_orig = int(tri_ids.max(initial=0))
+    assert max_orig * 4 + 3 < 2**24, "too many triangles for exact-f32 ids"
+    depth = ctypes.c_int32(0)
+    for max_rows in (t // 4 + t // 8 + 16, t + 8):
+        rows = np.empty((max_rows, 128), np.float32)
+        n = lib.build_bvh16(
+            _ptr(positions), _ptr(indices), _ptr(uv), ids_arg,
+            _ptr(tri_flags), ctypes.c_int64(t), _ptr(rows),
+            ctypes.c_int64(max_rows), ctypes.byref(depth),
+        )
+        if n > 0:
+            assert n * 8 + 8 < 2**23, "scene too large for exact-f32 refs"
+            return np.ascontiguousarray(rows[:n]), int(depth.value)
     return None
 
 

@@ -488,3 +488,165 @@ int64_t build_bvh8(const float* positions, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 16-wide planar BVH builder: 512-byte rows in the fused-kernel layout
+// (ops/traverse_fused.py). Measured on v5e: XLA row gathers cost the same
+// per ROW for 256B and 512B rows, so doubling the branching factor and leaf
+// capacity halves the dominant per-ray gather count for free; the wider
+// slab test / sort are absorbed by the VMEM-resident Pallas body.
+//
+// Row layout (128 f32 lanes, attr-planar so every kernel slice is
+// contiguous on sublanes after the in-kernel transpose):
+//   interior: [c]=bmin.x(c) [16+c]=bmin.y [32+c]=bmin.z
+//             [48+c]=bmax.x [64+c]=bmax.y [80+c]=bmax.z
+//             [96+c]=child ref (>=0 interior row; <0 => -(leaf_row*8+cnt-1+1))
+//             [112..127]=0; empty slots carry inverted AABBs.
+//   leaf:     [a*8 + t] = attribute a of triangle t (t<8): p0 p1 p2 (attrs
+//             0..8), uv0 uv1 uv2 (9..14), attr 15 = orig_id*4 + flags.
+// Shares the binned-SAH splitter with the 8-wide builder; also computes the
+// exact per-tree stack bound need(node) = (nkids-1) + max(child needs).
+// ---------------------------------------------------------------------------
+
+namespace wbvh16 {
+
+using wbvh::BBox;
+using wbvh::Ctx;
+using wbvh::kInvalid;
+
+constexpr int kWidth = 16;
+constexpr int kLeafMax = 8;
+constexpr int kLanes = 128;
+
+inline int64_t alloc_row16(Ctx& c) {
+  if (c.n_rows >= c.max_rows) {
+    c.overflow = true;
+    return 0;
+  }
+  std::memset(c.rows + c.n_rows * kLanes, 0, kLanes * sizeof(float));
+  return c.n_rows++;
+}
+
+inline float make_leaf(Ctx& c, int64_t lo, int64_t hi) {
+  const int64_t row = alloc_row16(c);
+  float* r = c.rows + row * kLanes;
+  const int cnt = int(hi - lo);
+  for (int j = 0; j < cnt; ++j) {
+    const int32_t p = c.prim[size_t(lo + j)];
+    for (int v = 0; v < 3; ++v) {
+      const int32_t vi = c.idx[p * 3 + v];
+      r[(v * 3 + 0) * 8 + j] = c.pos[vi * 3 + 0];
+      r[(v * 3 + 1) * 8 + j] = c.pos[vi * 3 + 1];
+      r[(v * 3 + 2) * 8 + j] = c.pos[vi * 3 + 2];
+      r[(9 + v * 2 + 0) * 8 + j] = c.uv[vi * 2 + 0];
+      r[(9 + v * 2 + 1) * 8 + j] = c.uv[vi * 2 + 1];
+    }
+    const int64_t orig = c.tri_ids ? c.tri_ids[p] : p;
+    r[15 * 8 + j] = float(orig * 4 + (c.flags[p] & 3));
+  }
+  const int64_t leaf_code = row * 8 + (cnt - 1);
+  return float(-(leaf_code + 1));
+}
+
+float build_node(Ctx& c, int64_t lo, int64_t hi, BBox& out, int32_t& need,
+                 bool force_interior);
+
+inline float make_interior(Ctx& c, int64_t lo, int64_t hi, int32_t& need) {
+  int64_t parts[kWidth + 1];
+  int n_parts = 1;
+  parts[0] = lo;
+  parts[1] = hi;
+  while (n_parts < kWidth) {
+    int pick = -1;
+    int64_t largest = kLeafMax;
+    for (int i = 0; i < n_parts; ++i) {
+      const int64_t sz = parts[i + 1] - parts[i];
+      if (sz > largest) { largest = sz; pick = i; }
+    }
+    if (pick < 0) break;
+    const int64_t mid = wbvh::split_range(c, parts[pick], parts[pick + 1]);
+    for (int i = n_parts; i > pick; --i) parts[i + 1] = parts[i];
+    parts[pick + 1] = mid;
+    ++n_parts;
+  }
+
+  const int64_t row = alloc_row16(c);
+  int32_t kid_need = 0;
+  for (int i = 0; i < n_parts && !c.overflow; ++i) {
+    BBox box;
+    int32_t nd = 0;
+    const float ref = build_node(c, parts[i], parts[i + 1], box, nd, false);
+    kid_need = std::max(kid_need, nd);
+    float* r = c.rows + row * kLanes;
+    r[0 * 16 + i] = box.mn[0];
+    r[1 * 16 + i] = box.mn[1];
+    r[2 * 16 + i] = box.mn[2];
+    r[3 * 16 + i] = box.mx[0];
+    r[4 * 16 + i] = box.mx[1];
+    r[5 * 16 + i] = box.mx[2];
+    r[96 + i] = ref;
+  }
+  float* r = c.rows + row * kLanes;
+  for (int i = n_parts; i < kWidth; ++i) {
+    r[0 * 16 + i] = r[1 * 16 + i] = r[2 * 16 + i] = kInvalid;
+    r[3 * 16 + i] = r[4 * 16 + i] = r[5 * 16 + i] = -kInvalid;
+    r[96 + i] = 0.0f;
+  }
+  need = (n_parts - 1) + kid_need;
+  return float(row);
+}
+
+float build_node(Ctx& c, int64_t lo, int64_t hi, BBox& out, int32_t& need,
+                 bool force_interior) {
+  out.reset();
+  for (int64_t i = lo; i < hi; ++i) out.grow(c.tbox[size_t(c.prim[size_t(i)])]);
+  if (c.overflow) return 0.0f;
+  if (!force_interior && hi - lo <= kLeafMax) {
+    need = 0;
+    return wbvh16::make_leaf(c, lo, hi);
+  }
+  return wbvh16::make_interior(c, lo, hi, need);
+}
+
+}  // namespace wbvh16
+
+extern "C" {
+
+// Returns rows written (row 0 = root) or -1 on overflow; *stack_depth_out
+// receives the exact worst-case traversal stack need of this tree.
+int64_t build_bvh16(const float* positions, const int32_t* indices,
+                    const float* uv, const int32_t* tri_ids,
+                    const int32_t* tri_flags, int64_t n_tris,
+                    float* rows_out, int64_t max_rows,
+                    int32_t* stack_depth_out) {
+  if (n_tris < 1 || max_rows < 2) return -1;
+  wbvh::Ctx c;
+  c.pos = positions;
+  c.idx = indices;
+  c.uv = uv;
+  c.tri_ids = tri_ids;
+  c.flags = tri_flags;
+  c.n_tris = n_tris;
+  c.rows = rows_out;
+  c.max_rows = max_rows;
+  c.tbox.resize(size_t(n_tris));
+  c.cent.resize(size_t(n_tris) * 3);
+  c.prim.resize(size_t(n_tris));
+  for (int64_t t = 0; t < n_tris; ++t) {
+    wbvh::BBox& b = c.tbox[size_t(t)];
+    b.reset();
+    for (int v = 0; v < 3; ++v) b.grow(positions + size_t(indices[t * 3 + v]) * 3);
+    for (int k = 0; k < 3; ++k)
+      c.cent[size_t(t) * 3 + k] = 0.5f * (b.mn[k] + b.mx[k]);
+    c.prim[size_t(t)] = int32_t(t);
+  }
+  wbvh::BBox root_box;
+  int32_t need = 1;
+  const float root =
+      wbvh16::build_node(c, 0, n_tris, root_box, need, /*force_interior=*/true);
+  if (c.overflow || root != 0.0f) return -1;
+  if (stack_depth_out) *stack_depth_out = std::max(need, 1);
+  return c.n_rows;
+}
+
+}  // extern "C"
