@@ -291,7 +291,11 @@ class Renderer:
         scene: SceneData,
         cfg: RenderConfig,
         tonemapper: Optional[Tonemapper] = None,
+        packed=None,
     ):
+        """``packed`` reuses a prebuilt AccelBundle (GUI-style live config
+        edits rebuild the renderer without rebuilding acceleration
+        structures — the reference keeps BLAS/TLAS across UI changes)."""
         self.cfg = cfg
         # Reference recomputes proj from the window size every frame
         # (scene.cpp:629-668); do the equivalent once per config.
@@ -302,7 +306,9 @@ class Renderer:
         )
         self.scene, self._run_cfg = prepare_sun_sky(scene, cfg)
         self.tonemapper = tonemapper or default_tonemapper()
-        if scene.instances is not None:
+        if packed is not None:
+            self.packed = packed
+        elif scene.instances is not None:
             self.packed = scene.instances  # prebuilt two-level structure
         else:
             self.packed = pack_scene(scene.bvh, scene.geometry)
