@@ -261,6 +261,7 @@ def trace_paths(
             scene.geometry, hit.tri, hit.u, hit.v,
             instances=packed.inst if is_instanced else None,
             inst=hit.inst,
+            shade_rows=scene.shade_rows,
         )
         state = resolve_material(
             ss, scene.materials, scene.atlas, st.direction, features=features

@@ -16,6 +16,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.schema import Geometry, Materials, TextureAtlas
 from ..ops.math import (
@@ -45,6 +46,49 @@ def _unpack_rgba8(c: jax.Array) -> jax.Array:
     )
 
 
+def build_shade_rows(geom: Geometry) -> jax.Array:
+    """Pack everything GetShadeState reads into one (T, 40) f32 row per
+    triangle, so the shading stage costs ONE row gather per lane instead of
+    ~18 (indices + 3x{positions, normals, tangents, uv, color} + handedness
+    + material). Row gathers are flat-cost per row up to 512B on v5e, so a
+    160B row is the same price as the 12B index fetch was.
+
+    u32-packed fields (oct normals/tangents, RGBA8 colors) are split into
+    two exact-f32 16-bit halves — TPU float lanes flush denormals, so raw
+    32-bit patterns must never ride in f32 lanes (see ops/traverse.py).
+
+    Lanes: [0:9] p0 p1 p2 | [9:15] n oct lo/hi x3 | [15:21] t oct lo/hi x3
+    | [21] handedness(v0) | [22:28] uv x3 | [28:34] color lo/hi x3
+    | [34] mat_id | [35:40] pad.
+    """
+    idx = np.asarray(geom.indices).astype(np.int64)       # (T, 3)
+    pos = np.asarray(geom.positions)
+    nrm = np.asarray(geom.normals).astype(np.uint32)
+    tan = np.asarray(geom.tangents).astype(np.uint32)
+    uv = np.asarray(geom.uv)
+    col = np.asarray(geom.color).astype(np.uint32)
+    t = len(idx)
+    rows = np.zeros((t, 40), np.float32)
+    rows[:, 0:9] = pos[idx].reshape(t, 9)
+    n3 = nrm[idx]
+    rows[:, 9:15:2] = (n3 & 0xFFFF).astype(np.float32)
+    rows[:, 10:15:2] = (n3 >> 16).astype(np.float32)
+    t3 = tan[idx]
+    rows[:, 15:21:2] = (t3 & 0xFFFF).astype(np.float32)
+    rows[:, 16:21:2] = (t3 >> 16).astype(np.float32)
+    rows[:, 21] = np.asarray(geom.tangent_handedness)[idx[:, 0]]
+    rows[:, 22:28] = uv[idx].reshape(t, 6)
+    c3 = col[idx]
+    rows[:, 28:34:2] = (c3 & 0xFFFF).astype(np.float32)
+    rows[:, 29:34:2] = (c3 >> 16).astype(np.float32)
+    rows[:, 34] = np.maximum(np.asarray(geom.tri_material), 0)
+    return jnp.asarray(rows)
+
+
+def _join16(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    return lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
+
+
 def get_shade_state(
     geom: Geometry,
     tri: jax.Array,
@@ -52,6 +96,7 @@ def get_shade_state(
     v: jax.Array,
     instances=None,
     inst: jax.Array | None = None,
+    shade_rows: jax.Array | None = None,
 ):
     """Interpolate vertex attributes at hit points (shade_state.glsl:63-145).
 
@@ -67,18 +112,35 @@ def get_shade_state(
     color/mat_id arrays.
     """
     trc = jnp.maximum(tri, 0)
-    idx = geom.indices[trc]                   # (R, 3)
     w = 1.0 - u - v
     bary = jnp.stack([w, u, v], axis=-1)      # (R, 3)
 
-    p = geom.positions[idx]                   # (R, 3, 3)
+    if shade_rows is not None:
+        row = shade_rows[trc]                 # (R, 40): THE gather
+        p = row[:, 0:9].reshape(-1, 3, 3)
+        n_pk = _join16(row[:, 9:15:2], row[:, 10:15:2])
+        t_pk = _join16(row[:, 15:21:2], row[:, 16:21:2])
+        handed = row[:, 21]
+        uv3 = row[:, 22:28].reshape(-1, 3, 2)
+        c_pk = _join16(row[:, 28:34:2], row[:, 29:34:2])
+        mat_id = row[:, 34].astype(jnp.int32)
+    else:
+        idx = geom.indices[trc]               # (R, 3)
+        p = geom.positions[idx]               # (R, 3, 3)
+        n_pk = geom.normals[idx]
+        t_pk = geom.tangents[idx]
+        handed = geom.tangent_handedness[idx[:, 0]]
+        uv3 = geom.uv[idx]
+        c_pk = geom.color[idx]
+        mat_id = jnp.maximum(geom.tri_material[trc], 0)
+
     position = jnp.einsum("rk,rkc->rc", bary, p)
 
-    n = oct_decode(geom.normals[idx])         # (R, 3, 3)
+    n = oct_decode(n_pk)                      # (R, 3, 3)
     normal = normalize(jnp.einsum("rk,rkc->rc", bary, n))
     geom_normal = normalize(jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]))
 
-    t = oct_decode(geom.tangents[idx])        # (R, 3, 3)
+    t = oct_decode(t_pk)                      # (R, 3, 3)
     tangent = normalize(jnp.einsum("rk,rkc->rc", bary, t))
 
     if instances is not None:
@@ -95,11 +157,10 @@ def get_shade_state(
         tangent = normalize(jnp.einsum("rij,rj->ri", m3, tangent))
     # Gram-Schmidt against the shading normal (shade_state.glsl:112-113)
     tangent = normalize(tangent - dot(tangent, normal, keepdims=True) * normal)
-    handed = geom.tangent_handedness[idx[:, 0]]
     bitangent = jnp.cross(normal, tangent) * handed[..., None]
 
-    uv = jnp.einsum("rk,rkc->rc", bary, geom.uv[idx])
-    color = jnp.einsum("rk,rkc->rc", bary, _unpack_rgba8(geom.color[idx]))
+    uv = jnp.einsum("rk,rkc->rc", bary, uv3)
+    color = jnp.einsum("rk,rkc->rc", bary, _unpack_rgba8(c_pk))
 
     # Put the shading normal on the geometric side (shade_state.glsl:139-143)
     flip = dot(normal, geom_normal) <= 0.0
@@ -113,7 +174,7 @@ def get_shade_state(
         bitangent=bitangent,
         uv=uv,
         color=color[..., :3],
-        mat_id=jnp.maximum(geom.tri_material[trc], 0),
+        mat_id=mat_id,
     )
 
 

@@ -177,6 +177,7 @@ def render_units_pooled(
             scene.geometry, hit.tri, hit.u, hit.v,
             instances=packed.inst if is_instanced else None,
             inst=hit.inst,
+            shade_rows=scene.shade_rows,
         )
         state = resolve_material(
             ss, scene.materials, scene.atlas, st.direction, features=features

@@ -259,6 +259,9 @@ class SceneData(NamedTuple):
     # structure; None = single-level world-space geometry (baked transforms).
     # When set, `geometry` is the OBJECT-space shared mesh pool.
     instances: Optional[NamedTuple] = None
+    # Packed per-triangle shade rows (integrator/shade.py::build_shade_rows):
+    # ONE row gather replaces ~18 vertex-attribute gathers per shaded lane.
+    shade_rows: Optional[jax.Array] = None
 
 
 class Tonemapper(NamedTuple):

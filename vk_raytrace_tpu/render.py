@@ -76,6 +76,8 @@ def build_scene(
         n_lights = int(
             np.count_nonzero(np.asarray(lights.intensity) > 0.0)
         )
+    from .integrator.shade import build_shade_rows
+
     return SceneData(
         geometry=geometry,
         materials=materials,
@@ -86,6 +88,7 @@ def build_scene(
         camera=camera,
         sun_sky=sun_sky if sun_sky is not None else default_sun_sky(),
         bvh=bvh,
+        shade_rows=build_shade_rows(geometry),
     )
 
 
@@ -119,6 +122,7 @@ def build_instanced_scene(
     :class:`models.instances.MeshPool` (shared object-space meshes) and
     ``instances`` an :class:`models.instances.InstanceTable`; the TLAS/BLAS
     structure is built here (accelstruct.cpp:55-162 analog)."""
+    from .integrator.shade import build_shade_rows
     from .ops.tlas import build_instanced_accel
 
     accel = build_instanced_accel(pool, instances)
@@ -135,6 +139,7 @@ def build_instanced_scene(
         sun_sky=sun_sky if sun_sky is not None else default_sun_sky(),
         bvh=None,
         instances=accel,
+        shade_rows=build_shade_rows(pool.geometry),
     )
 
 
