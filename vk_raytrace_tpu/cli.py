@@ -123,11 +123,16 @@ def main(argv=None) -> int:
     import os as _os
 
     try:
+        import platform as _platform
+
         import jax as _jax
 
-        _cache = _os.environ.get(
+        # Keyed by backend AND host: the axon remote-compile helper writes
+        # remote-machine CPU-AOT artifacts; loading them locally SIGILLs.
+        _base = _os.environ.get(
             "VKRT_COMPILE_CACHE", _os.path.expanduser("~/.cache/vkrt_xla")
         )
+        _cache = f"{_base}_{_jax.default_backend()}_{_platform.node()}"
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
