@@ -161,3 +161,25 @@ def test_bundle_routes_to_fused(cornell, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(hit_b.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
     )
+
+
+def test_instanced_fused_matches_xla(monkeypatch):
+    """Two-level traversal with the fused BLAS kernel (per-lane roots) vs
+    the XLA body — identical hits (ops/tlas.py round structure is shared;
+    only the inner BLAS traversal differs)."""
+    from tests.test_instancing import _build_both, _rays
+    from vk_raytrace_tpu.ops import tlas
+
+    pool, inst_table, _ = _build_both()
+    accel = tlas.build_instanced_accel(pool, inst_table)
+    tm_pool = pool.geometry.tri_material
+    o, d = _rays(512, 5)
+    monkeypatch.setenv("VKRT_FUSED", "0")
+    hit_x, _ = tlas.closest_hit_instanced(accel, tm_pool, o, d)
+    monkeypatch.setenv("VKRT_FUSED", "1")
+    hit_f, _ = tlas.closest_hit_instanced(accel, tm_pool, o, d)
+    np.testing.assert_array_equal(np.asarray(hit_f.tri), np.asarray(hit_x.tri))
+    np.testing.assert_allclose(
+        np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(hit_f.inst), np.asarray(hit_x.inst))

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the image over all visible devices")
     p.add_argument("--profile", action="store_true", help="print per-stage timings")
     p.add_argument("--stats", action="store_true", help="print scene statistics")
+    p.add_argument("--renderer", choices=["fused", "wide"], default=None,
+                   help="traversal back end (createRender analog, "
+                        "sample_example.cpp:322-337): 'fused' = Pallas step "
+                        "kernel (RTX-pipeline analog, TPU default), 'wide' = "
+                        "XLA elementwise body (RayQuery analog / fallback)")
     # Tonemapper block (render_output.hpp:37-49 defaults)
     p.add_argument("--tm-brightness", type=float, default=1.0)
     p.add_argument("--tm-contrast", type=float, default=1.0)
@@ -138,6 +143,11 @@ def main(argv=None) -> int:
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+
+    if getattr(args, "renderer", None):
+        # Renderer switch analog: route every opaque traversal through the
+        # selected back end (ops/traverse_fused.py::enabled reads this).
+        _os.environ["VKRT_FUSED"] = "1" if args.renderer == "fused" else "0"
 
     import jax
     import numpy as np

@@ -45,6 +45,9 @@ class InstancedAccel(NamedTuple):
     blas: WideScene          # concatenated per-mesh row tables
     mesh_root: jax.Array     # (M,) i32 absolute root row of each mesh
     inst: InstanceTable
+    # Planar copy for the fused Pallas BLAS traversal (per-lane roots);
+    # used for the opaque path when no alpha machinery is needed.
+    blas_planar: object | None = None
 
 
 def _classify_interior(rows: np.ndarray) -> np.ndarray:
@@ -113,10 +116,14 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
         tables.append(rows)
     assert base * 4 + 4 < 2**23, "combined BLAS too large for exact-f32 refs"
     all_rows = np.concatenate(tables, axis=0)
+    from .traverse_fused import planarize
+
+    blas = WideScene(rows=jnp.asarray(all_rows), stack_depth=depth)
     return InstancedAccel(
-        blas=WideScene(rows=jnp.asarray(all_rows), stack_depth=depth),
+        blas=blas,
         mesh_root=jnp.asarray(roots, jnp.int32),
         inst=inst,
+        blas_planar=planarize(blas, roots=roots),
     )
 
 
@@ -186,11 +193,24 @@ def _two_level(
             has = has & (tri < 0)  # stop after any accepted hit
         o_obj, d_obj = _transform_rays(accel.inst, nid, origin, direction)
         root = accel.mesh_root[accel.inst.mesh_id[jnp.maximum(nid, 0)]]
-        hit, seed = _traverse_wide(
-            accel.blas, tri_material, o_obj, d_obj, t_best, seed, alpha_ctx,
-            cull_backface=cull_backface, any_hit_mode=any_hit_mode,
-            active_in=has, root0=root,
-        )
+        from . import traverse_fused as tf_
+
+        if (
+            alpha_ctx is None
+            and accel.blas_planar is not None
+            and tf_.enabled()
+        ):
+            hit = tf_._traverse_fused(
+                accel.blas_planar, o_obj, d_obj, t_best,
+                cull_backface=cull_backface, any_hit_mode=any_hit_mode,
+                active_in=has, root0=root,
+            )
+        else:
+            hit, seed = _traverse_wide(
+                accel.blas, tri_material, o_obj, d_obj, t_best, seed,
+                alpha_ctx, cull_backface=cull_backface,
+                any_hit_mode=any_hit_mode, active_in=has, root0=root,
+            )
         upd = has & (hit.tri >= 0)
         t_best = jnp.where(upd, hit.t, t_best)
         tri = jnp.where(upd, hit.tri, tri)

@@ -55,6 +55,13 @@ _INF = float(INF) if not isinstance(INF, float) else INF
 _ROOT_INF = 3.0e38
 
 BLK = 4096          # rays per kernel block: row 1 MB + stack ~0.9 MB in VMEM
+# Phase schedule: compact survivors to r/div at each boundary. Tunables so
+# the bench harness can sweep them; defaults chosen on the atrium.
+PHASE_DIVS = (4, 16, 64)
+# Chunk 4 beats 8 on the atrium (83 vs 98-130 ms closest-hit at 524k rays):
+# phases end nearer the live-fraction thresholds instead of overshooting by
+# up to 7 full-batch steps; the extra cond reductions are cheap on (1, R).
+CHUNK_LEN = 4
 _META = 8           # depth, t_best, tri_best, u, v, steps, pad, pad
 _M_DEPTH, _M_T, _M_TRI, _M_U, _M_V, _M_STEPS = 0, 1, 2, 3, 4, 5
 
@@ -80,14 +87,15 @@ class PlanarScene:
         return cls(children[0], stack_depth=aux[0], width=aux[1])
 
 
-def _interior_mask(rows: np.ndarray) -> np.ndarray:
-    """BFS from the root over child refs: which unified rows are interior.
+def _interior_mask(rows: np.ndarray, roots=None) -> np.ndarray:
+    """BFS from the root(s) over child refs: which unified rows are interior.
     (The unified table interleaves interior and leaf rows; only the refs
-    distinguish them.)"""
+    distinguish them. Concatenated multi-mesh tables — ops/tlas.py — pass
+    every mesh root.)"""
     n = len(rows)
     interior = np.zeros(n, bool)
-    frontier = np.array([0], np.int64)
-    interior[0] = True
+    frontier = np.unique(np.asarray(roots if roots is not None else [0], np.int64))
+    interior[frontier] = True
     while len(frontier):
         r = rows[frontier]                      # (F, 64)
         valid = r[:, 0:48:6] <= r[:, 3:48:6]    # (F, 8) slot occupied
@@ -112,11 +120,11 @@ for _t in range(4):
         _PERM_LEAF[_a * 4 + _t] = _t * 16 + _a  # new lane a*4+t <- old t*16+a
 
 
-def planarize(wide) -> PlanarScene:
+def planarize(wide, roots=None) -> PlanarScene:
     """One-time lane permutation of a :class:`~.bvh8.WideScene` row table
     into the fused kernel's planar layout (host numpy, O(rows))."""
     rows = np.asarray(wide.rows)
-    interior = _interior_mask(rows)
+    interior = _interior_mask(rows, roots=roots)
     out = np.empty_like(rows)
     out[interior] = rows[interior][:, _PERM_INT]
     out[~interior] = rows[~interior][:, _PERM_LEAF]
@@ -380,6 +388,7 @@ def _traverse_fused(
     cull_backface: bool,
     any_hit_mode: bool,
     active_in: Optional[jax.Array],
+    root0: Optional[jax.Array] = None,   # per-lane BLAS roots (ops/tlas.py)
 ) -> Hit:
     rows = planar.rows
     stack_depth = planar.stack_depth
@@ -408,7 +417,15 @@ def _traverse_fused(
     o4, d4, i4 = t4(origin_p), t4(direction_p), t4(inv_d)
 
     W = planar.width
-    cur0 = jnp.zeros((r,), jnp.int32)
+    if root0 is not None:
+        # Two-level mode: each lane starts at its instance's BLAS root; the
+        # single-root prefilter does not apply (the TLAS round already
+        # slab-tested the instance AABB).
+        cur0 = pad_rm(
+            jnp.broadcast_to(root0, (r_in,)).astype(jnp.int32), 0
+        )
+    else:
+        cur0 = jnp.zeros((r,), jnp.int32)
     # Root-AABB prefilter (same as ops/traverse_wide.py): planar interior
     # layout keeps bmin planes in lanes [0, 3W), bmax planes in [3W, 6W).
     rb = rows[0]
@@ -426,7 +443,8 @@ def _traverse_fused(
     tn0 = jnp.max(jnp.minimum(lo, hi), axis=1)
     tf0 = jnp.min(jnp.maximum(lo, hi), axis=1)
     hit_root = (tn0 <= tf0) & (tf0 >= 0.0) & (tn0 < t_max_p)
-    cur0 = jnp.where(hit_root, cur0, TERM)
+    if root0 is None:
+        cur0 = jnp.where(hit_root, cur0, TERM)
     if active_in is not None:
         cur0 = jnp.where(pad_rm(active_in, False), cur0, TERM)
     if r != r_in:
@@ -441,7 +459,7 @@ def _traverse_fused(
     kern = _make_step_kernel(cull_backface, any_hit_mode, stack_depth, W)
     step = functools.partial(_step, rows, kern, stack_depth, W)
 
-    chunk_len = 4 if rows.shape[0] < 1024 else 8
+    chunk_len = 4 if rows.shape[0] < 1024 else CHUNK_LEN
 
     def run_phase(state, o4, d4, i4, live_floor):
         def chunk(s):
@@ -476,7 +494,7 @@ def _traverse_fused(
         oc, dc, ic = o4, d4, i4
         merges = []
         cur_state = state
-        for div in (4, 16, 64):
+        for div in PHASE_DIVS:
             size = max(1 << 12, (r // div + BLK - 1) // BLK * BLK)
             cur_state = run_phase(cur_state, oc, dc, ic, size)
             sub, oc, dc, ic, idx = compact(cur_state, oc, dc, ic, size)
