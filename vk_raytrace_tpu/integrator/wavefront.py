@@ -76,6 +76,9 @@ def render_units_pooled(
     n_pix: int,             # static slice size
     pool: int,              # static lane-pool size
     features=None,          # static MatFeatures (see integrator/shade.py)
+    track_steps: bool = False,  # per-pixel traversal-step image (heatmap/
+                            # stats); the scatter-add costs ~3.5ms/iteration
+                            # at 524k lanes, so production frames skip it
 ):
     """Trace ``n_pix * cfg.max_samples`` paths; returns
     ``(radiance_mean (n_pix, 3), steps (n_pix,), rays ())``."""
@@ -306,9 +309,13 @@ def render_units_pooled(
         local = st.pix.astype(jnp.int32) - pix0
         target = jnp.where(died, local, n_pix)  # n_pix = dropped
         out = st.out.at[target].add(contrib, mode="drop")
-        # Traversal steps accumulate per pixel every bounce (stats/heatmap).
-        step_target = jnp.where(st.active, local, n_pix)
-        steps = st.steps.at[step_target].add(hit.steps, mode="drop")
+        # Traversal steps accumulate per pixel every bounce (stats/heatmap);
+        # skipped in production (the pooled caller discards them).
+        if track_steps:
+            step_target = jnp.where(st.active, local, n_pix)
+            steps = st.steps.at[step_target].add(hit.steps, mode="drop")
+        else:
+            steps = st.steps
         return st._replace(
             origin=new_origin,
             direction=new_dir,

@@ -475,14 +475,30 @@ def _traverse_fused(
         return jax.lax.while_loop(cond, chunk, state)
 
     def compact(state, o4, d4, i4, size):
+        """Phase-boundary compaction. Gathers are flat-cost per ROW, so the
+        attr-major state is packed to ray-major rows first: ONE (R, 9+M)
+        gather covers cur+meta+rays, plus one for the stack — 2 gathers
+        instead of 6 (and XLA inserts the transposes it would have needed
+        for the axis-1 gathers anyway)."""
         cur, meta, stack = state
         full = cur.shape[1]
         (idx,) = jnp.nonzero(cur[0] != TERM, size=size, fill_value=full)
         safe = jnp.minimum(idx, full - 1)
         valid = idx < full
-        sub_cur = jnp.where(valid, cur[:, safe], TERM)
-        sub = (sub_cur, meta[:, safe], stack[:, safe])
-        return sub, o4[:, safe], d4[:, safe], i4[:, safe], idx
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        packed = jnp.concatenate(
+            [cur, bc(meta), bc(o4[0:3]), bc(d4[0:3]), bc(i4[0:3])], axis=0
+        ).T[safe]                                   # (size, 1+M+9) i32
+        sub_cur = jnp.where(valid, packed[:, 0], TERM)[None, :]
+        fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        m = _META
+        sub_meta = fb(packed[:, 1:1 + m].T)
+        pad1 = jnp.zeros((1, packed.shape[0]), jnp.float32)
+        o4c = jnp.concatenate([fb(packed[:, 1 + m:4 + m].T), pad1], axis=0)
+        d4c = jnp.concatenate([fb(packed[:, 4 + m:7 + m].T), pad1], axis=0)
+        i4c = jnp.concatenate([fb(packed[:, 7 + m:10 + m].T), pad1], axis=0)
+        sub = (sub_cur, sub_meta, stack[:, safe])
+        return sub, o4c, d4c, i4c, idx
 
     def merge(state, sub, idx):
         cur, meta, stack = state

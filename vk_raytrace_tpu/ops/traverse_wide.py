@@ -418,14 +418,36 @@ def _traverse_wide(
     def compact(state, o, d, invd, size):
         """Pack the unfinished lanes into the first ``size`` lanes of a new
         buffer (static size; fill lanes are TERM). Returns the sub-state, the
-        sub ray params, and the source indices for scattering results back."""
+        sub ray params, and the source indices for scattering results back.
+
+        Gather count matters more than gathered bytes (flat cost per ROW up
+        to 512B): the 8 scalar state columns ride as ONE (R, 8) i32 row
+        (f32/u32 fields bitcast — integer arrays never flush bit patterns)
+        and the 9 ray-param columns as ONE (R, 9) row, so a boundary costs
+        3 gathers (scalars, stack, rays) instead of 12."""
         full = state[0].shape[0]
         (idx,) = jnp.nonzero(state[0] != TERM, size=size, fill_value=full)
         safe = jnp.minimum(idx, full - 1)
         valid = idx < full
-        sub = tuple(a[safe] for a in state)
-        sub = (jnp.where(valid, sub[0], TERM),) + sub[1:]
-        return sub, o[safe], d[safe], invd[safe], idx
+        cur, depth, stack, t_best, tri, u, v, sd, steps = state
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        packed_scalars = jnp.stack(
+            [cur, depth, bc(t_best), tri, bc(u), bc(v), bc(sd), steps], axis=1
+        )[safe]
+        fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        sub = (
+            jnp.where(valid, packed_scalars[:, 0], TERM),
+            packed_scalars[:, 1],
+            stack[safe],
+            fb(packed_scalars[:, 2]),
+            packed_scalars[:, 3],
+            fb(packed_scalars[:, 4]),
+            fb(packed_scalars[:, 5]),
+            jax.lax.bitcast_convert_type(packed_scalars[:, 6], jnp.uint32),
+            packed_scalars[:, 7],
+        )
+        rays = jnp.concatenate([o, d, invd], axis=1)[safe]  # (size, 9)
+        return sub, rays[:, 0:3], rays[:, 3:6], rays[:, 6:9], idx
 
     def merge(state, sub, idx):
         """Scatter a compacted phase's results back (out-of-range fill
