@@ -187,3 +187,39 @@ class TestHdrIO:
         assert out.shape == (h, w, 3)
         rel = np.abs(out - img) / np.maximum(img, 1e-3)
         assert np.median(rel) < 0.01
+
+
+class TestPackedEnvRows:
+    """models/hdr.py::pack_env_rows — one-gather bilinear + alias data."""
+
+    def test_bilinear_matches_sample_env(self):
+        import jax
+
+        from vk_raytrace_tpu.models.hdr import build_environment, procedural_sky_hdr
+        from vk_raytrace_tpu.ops.env import _bilinear_packed
+        from vk_raytrace_tpu.ops.texture import sample_env
+
+        env = build_environment(procedural_sky_hdr(32, 64))
+        uv = jax.random.uniform(jax.random.PRNGKey(0), (4096, 2))
+        # include exact edges
+        uv = jnp.concatenate(
+            [uv, jnp.array([[0.0, 0.0], [0.999, 0.999], [0.5, 0.0], [0.5, 1.0]])]
+        )
+        ref = sample_env(env.image, uv)
+        got = _bilinear_packed(env.rows, env.image.shape[0], env.image.shape[1], uv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    def test_alias_sample_matches_unpacked(self):
+        import jax
+
+        from vk_raytrace_tpu.models.hdr import build_environment, procedural_sky_hdr
+        from vk_raytrace_tpu.ops.env import environment_sample
+
+        env = build_environment(procedural_sky_hdr(32, 64))
+        xi = jax.random.uniform(jax.random.PRNGKey(1), (8192, 3))
+        rad_p, dir_p, pdf_p = environment_sample(env, xi)
+        env_u = env._replace(rows=None)
+        rad_u, dir_u, pdf_u = environment_sample(env_u, xi)
+        np.testing.assert_allclose(np.asarray(rad_p), np.asarray(rad_u), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dir_p), np.asarray(dir_u), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pdf_p), np.asarray(pdf_u), rtol=1e-6)

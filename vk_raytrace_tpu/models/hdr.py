@@ -165,6 +165,31 @@ def build_alias_table(importance: jax.Array) -> tuple[jax.Array, jax.Array, jax.
     return q.astype(jnp.float32), alias, total
 
 
+def pack_env_rows(img: jax.Array, accel) -> jax.Array:
+    """(H*W, 16) f32 per-texel rows: [self rgb | right | down | diag |
+    q, alias, pdf, alias_pdf]. Neighbors bake the bilinear footprint whose
+    top-left is this texel (U wraps, V clamps — hdr_sampling.cpp:68-77),
+    so one row gather serves a full bilinear tap."""
+    h, w = img.shape[0], img.shape[1]
+    right = jnp.roll(img, -1, axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    diag = jnp.roll(down, -1, axis=1)
+    n = h * w
+    return jnp.concatenate(
+        [
+            img.reshape(n, 3),
+            right.reshape(n, 3),
+            down.reshape(n, 3),
+            diag.reshape(n, 3),
+            accel.q[:, None],
+            accel.alias.astype(jnp.float32)[:, None],
+            accel.pdf[:, None],
+            accel.alias_pdf[:, None],
+        ],
+        axis=1,
+    )
+
+
 def build_environment(image: np.ndarray | jax.Array) -> Environment:
     """Full environment build: importance + alias table + pdfs
     (``createEnvironmentAccel``, hdr_sampling.cpp:190-248)."""
@@ -189,11 +214,14 @@ def build_environment(image: np.ndarray | jax.Array) -> Environment:
     pdf = max_ch.reshape(-1) / jnp.maximum(integral, 1e-30)
     alias_pdf = pdf[alias]
 
+    accel = EnvAccel(alias=alias, q=q, pdf=pdf, alias_pdf=alias_pdf)
+    assert h * w < 2**23, "env too large for exact-f32 alias ids"
     return Environment(
         image=img,
-        accel=EnvAccel(alias=alias, q=q, pdf=pdf, alias_pdf=alias_pdf),
+        accel=accel,
         integral=integral,
         average=average,
+        rows=pack_env_rows(img, accel),
     )
 
 

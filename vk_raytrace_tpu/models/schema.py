@@ -163,6 +163,10 @@ class Environment(NamedTuple):
     accel: EnvAccel      # He*We entries
     integral: jax.Array  # ()  f32 — radiance integral (firefly clamp driver)
     average: jax.Array   # ()  f32 — average CIE luminance (auto exposure)
+    # Gather-packed per-texel rows (models/hdr.py::pack_env_rows): the 2x2
+    # bilinear neighborhood RGB + alias data in ONE 64-byte row, so a miss
+    # lookup is 1 gather (was 4) and an alias-method NEE sample 2 (was 7).
+    rows: Optional[jax.Array] = None  # (He*We, 16) f32
 
 
 class Camera(NamedTuple):

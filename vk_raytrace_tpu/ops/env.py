@@ -29,16 +29,24 @@ def environment_sample(env: Environment, xi: jax.Array):
     size = h * w
     idx = jnp.minimum((xi[..., 0] * size).astype(jnp.int32), size - 1)
 
-    q = env.accel.q[idx]
+    if env.rows is not None:
+        arow = env.rows[idx]                       # ONE gather: alias data
+        q = arow[..., 12]
+        alias = arow[..., 13].astype(jnp.int32)
+        pdf_self, pdf_alias = arow[..., 14], arow[..., 15]
+    else:
+        q = env.accel.q[idx]
+        alias = env.accel.alias[idx]
+        pdf_self, pdf_alias = env.accel.pdf[idx], env.accel.alias_pdf[idx]
     take_self = xi[..., 1] < q
-    env_idx = jnp.where(take_self, idx, env.accel.alias[idx])
+    env_idx = jnp.where(take_self, idx, alias)
     # Renormalize the used variate (reference reuses it for sub-texel phi).
     xi_y = jnp.where(
         take_self,
         xi[..., 1] / jnp.maximum(q, 1e-12),
         (xi[..., 1] - q) / jnp.maximum(1.0 - q, 1e-12),
     )
-    pdf = jnp.where(take_self, env.accel.pdf[idx], env.accel.alias_pdf[idx])
+    pdf = jnp.where(take_self, pdf_self, pdf_alias)
 
     px = (env_idx % w).astype(jnp.float32)
     py = (env_idx // w).astype(jnp.float32)
@@ -59,7 +67,11 @@ def environment_sample(env: Environment, xi: jax.Array):
     direction = jnp.stack(
         [cos_phi * sin_theta, cos_theta, sin_phi * sin_theta], axis=-1
     )
-    radiance = sample_env(env.image, jnp.stack([u, v], axis=-1))
+    uv = jnp.stack([u, v], axis=-1)
+    if env.rows is not None:
+        radiance = _bilinear_packed(env.rows, h, w, uv)
+    else:
+        radiance = sample_env(env.image, uv)
     return radiance, direction, pdf
 
 
@@ -76,6 +88,8 @@ def environment_pdf(env: Environment, direction: jax.Array) -> jax.Array:
     # Texel selection prob = importance/total = pdf * solid_angle, and the
     # in-texel distribution is solid-angle uniform, so the per-steradian
     # density is exactly the stored pdf (maxChannel / integral).
+    if env.rows is not None:
+        return env.rows[y * w + x, 14]
     return env.accel.pdf[y * w + x]
 
 
@@ -113,6 +127,30 @@ def env_sample(
     return radiance, direction, pdf, seed
 
 
+def _bilinear_packed(rows: jax.Array, h: int, w: int, uv: jax.Array):
+    """Bilinear env tap from the packed per-texel rows: the gathered row
+    already holds the 2x2 footprint (models/hdr.py::pack_env_rows) — one
+    gather instead of four. Matches sample_env exactly (U wrap, V clamp)."""
+    px = uv[..., 0] * w - 0.5
+    py = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = (px - x0.astype(jnp.float32))[..., None]
+    fy = (py - y0.astype(jnp.float32))[..., None]
+    xw = jnp.remainder(x0, w)
+    yw = jnp.clip(y0, 0, h - 1)
+    row = rows[yw * w + xw]
+    c00, c10 = row[..., 0:3], row[..., 3:6]
+    c01, c11 = row[..., 6:9], row[..., 9:12]
+    # V-clamp top edge: y0 == -1 clamps both taps to row 0 in sample_env;
+    # the gathered y=0 row reproduces that with fy forced to 0. (The bottom
+    # edge is handled at build time: the last row's "down" is itself.)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
 def env_radiance(
     env: Environment,
     sun_sky: SunSky,
@@ -124,6 +162,11 @@ def env_radiance(
     (pathtrace.glsl:218-227): sun&sky or lat-long lookup, x hdrMultiplier."""
     if use_sun_sky:
         e = sun_and_sky(sun_sky, direction)
+    elif env.rows is not None:
+        e = _bilinear_packed(
+            env.rows, env.image.shape[0], env.image.shape[1],
+            spherical_uv(direction),
+        )
     else:
         e = sample_env(env.image, spherical_uv(direction))
     return e * hdr_multiplier

@@ -452,10 +452,22 @@ def _traverse_wide(
     def merge(state, sub, idx):
         """Scatter a compacted phase's results back (out-of-range fill
         indices are dropped by XLA scatter). Only the fields consumed after
-        the loop are merged; cur/depth/stack of drained lanes are dead."""
+        the loop are merged; cur/depth/stack of drained lanes are dead.
+        The six result columns ride as ONE packed (r', 6) i32 scatter
+        (scatter cost is per ROW, like gathers)."""
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        pack = lambda s: jnp.stack(
+            [bc(s[3]), s[4], bc(s[5]), bc(s[6]), bc(s[7]), s[8]], axis=1
+        )
+        merged = pack(state).at[idx].set(pack(sub), mode="drop")
         out = list(state)
-        for f in (3, 4, 5, 6, 7, 8):  # t_best, tri, u, v, seed, steps
-            out[f] = out[f].at[idx].set(sub[f], mode="drop")
+        out[3] = fb(merged[:, 0])
+        out[4] = merged[:, 1]
+        out[5] = fb(merged[:, 2])
+        out[6] = fb(merged[:, 3])
+        out[7] = jax.lax.bitcast_convert_type(merged[:, 4], jnp.uint32)
+        out[8] = merged[:, 5]
         return tuple(out)
 
     state = (
