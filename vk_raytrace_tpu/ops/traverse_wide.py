@@ -41,7 +41,7 @@ class AlphaPack(NamedTuple):
     atlas_width: int
 
 
-def make_alpha_pack(ctx: AlphaCtx) -> AlphaPack:
+def make_alpha_pack(ctx: AlphaCtx, tri_material=None) -> AlphaPack:
     m = ctx.materials
     t = m.uv_transform  # (M, 3, 3), applied as [u, v, 1] @ T
     rows = jnp.stack(
@@ -60,6 +60,10 @@ def make_alpha_pack(ctx: AlphaCtx) -> AlphaPack:
         ],
         axis=1,
     )
+    if tri_material is not None:
+        # Prebake tri -> material row: the in-loop lookup becomes ONE gather
+        # (was tri_material[orig] then rows[mat] — two 4R-row gathers/step).
+        rows = rows[jnp.clip(tri_material, 0, rows.shape[0] - 1)]
     return AlphaPack(
         rows=rows,
         alpha_plane=ctx.atlas.data[:, :, 3].reshape(-1),
@@ -157,7 +161,9 @@ def _traverse_wide(
         seed = jnp.zeros((r,), jnp.uint32)
 
     with_alpha = alpha_ctx is not None
-    alpha_pack = make_alpha_pack(alpha_ctx) if with_alpha else None
+    alpha_pack = (
+        make_alpha_pack(alpha_ctx, tri_material) if with_alpha else None
+    )
     # Stack sized to THIS tree's exact worst case (ops/bvh8.py::_stack_bound)
     # — the (R, D) stack is the loop's dominant elementwise traffic.
     stack_depth = min(getattr(wide, "stack_depth", STACK_DEPTH), 2 * STACK_DEPTH)
@@ -294,8 +300,7 @@ def _traverse_wide(
             # test — the per-sample randomization dominates any filtering
             # difference).
             has_alpha_tri = geo_hit & ((flags & 2) != 0)
-            mat_ids = tri_material[jnp.clip(orig, 0, tri_material.shape[0] - 1)]
-            arow = alpha_pack.rows[jnp.clip(mat_ids, 0, alpha_pack.rows.shape[0] - 1)]
+            arow = alpha_pack.rows[jnp.clip(orig, 0, alpha_pack.rows.shape[0] - 1)]
             wbar = (1.0 - uu - vv)
             uvu = (
                 tris4[:, :, 9] * wbar + tris4[:, :, 11] * uu + tris4[:, :, 13] * vv
