@@ -11,6 +11,12 @@ v5e chip).
 Rays are counted inside the integrator (primary + bounce + shadow rays
 actually traced; idle lanes don't count), and timing blocks on device
 completion — no async-dispatch flattery.
+
+Build time is reported with a component breakdown (scene_gen/tables/
+sky_bake/accel/upload) plus ``tunnel_handshake_s``: on remote-TPU tunnels
+the first device->host readback of a process blocks ~2 minutes on
+transport setup; the build overlaps it on a background thread
+(utils/device.py) so it bounds warmup, not build.
 """
 
 from __future__ import annotations
@@ -51,7 +57,31 @@ _enable_compile_cache()
 
 W, H = 1920, 1080
 WARMUP_FRAMES = 1
-ITERS = 2
+ITERS = int(os.environ.get("VKRT_BENCH_ITERS", "6"))
+
+
+def _build_atrium(w, h):
+    """Shared scene+renderer build with per-phase timings."""
+    from vk_raytrace_tpu.models import procedural
+    from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
+    from vk_raytrace_tpu import render as R
+    from vk_raytrace_tpu.utils import device as devutil
+
+    devutil.warm_transfers_async()  # overlap tunnel handshake with build
+    times = {}
+    t0 = time.time()
+    geom, mats, lights, cam, atlas = procedural.atrium_scene()
+    times["scene_gen_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
+    times["scene_tables_s"] = round(time.time() - t0, 1)
+    cfg = RenderConfig(
+        width=w, height=h, max_depth=4, max_samples=1, hdr_multiplier=1.0,
+        pbr_mode=PBR_GLTF, firefly_clamp=10.0, use_sun_sky=True,
+    )
+    r = R.Renderer(scene, cfg)
+    times.update({k: round(v, 1) for k, v in r.build_times.items()})
+    return geom, scene, cfg, r, times
 
 
 def main_multichip(n_virtual: int | None):
@@ -75,8 +105,6 @@ def main_multichip(n_virtual: int | None):
 
     import jax.numpy as jnp
 
-    from vk_raytrace_tpu.models import procedural
-    from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
     from vk_raytrace_tpu import render as R
     from vk_raytrace_tpu.parallel import sharding as sh
 
@@ -84,71 +112,49 @@ def main_multichip(n_virtual: int | None):
     n_dev = len(jax.devices())
     # Virtual CPU meshes get a tiny frame; real chips get the full 1080p.
     w, h = (512, 256) if n_virtual else (W, H)
-    geom, mats, lights, cam, atlas = procedural.atrium_scene()
-    scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
-    cfg = RenderConfig(
-        width=w, height=h, max_depth=4, max_samples=1,
-        pbr_mode=PBR_GLTF, firefly_clamp=10.0, use_sun_sky=True,
-    )
+    geom, scene, cfg, r, times = _build_atrium(w, h)
     mesh = sh.make_mesh()
-    scene_r = sh.replicate(mesh, R.Renderer(scene, cfg).scene)
-    packed_r = sh.replicate(mesh, R.Renderer(scene, cfg).packed)
+    scene_r = sh.replicate(mesh, r.scene)
+    packed_r = sh.replicate(mesh, r.packed)
     step = sh.sharded_render_step(
-        mesh, scene_r, packed_r, cfg, R.scene_has_alpha(scene_r)
+        mesh, scene_r, packed_r, cfg, r.has_alpha, features=r.features
     )
     accum = sh.shard_accum(mesh, jnp.zeros((h, w, 3), jnp.float32))
-    accum = step(accum, jnp.int32(0))
+    accum, rays = step(accum, jnp.int32(0))
     jax.block_until_ready(accum)
     t_warm = time.time() - t_start
     t0 = time.perf_counter()
+    total_rays = 0
     for f in range(ITERS):
-        accum = step(accum, jnp.int32(1 + f))
-    jax.block_until_ready(accum)
+        accum, rays = step(accum, jnp.int32(1 + f))
+        jax.block_until_ready(accum)
+        total_rays += int(rays)
     dt = time.perf_counter() - t0
-    # Rays/frame ~= pixels * (1 primary + (depth-1) bounces + depth shadow)
-    # per sample-shard; the sharded path does not thread exact in-integrator
-    # counts through the collective, so this reports pixel throughput too.
-    pix_s = w * h * ITERS / dt
     print(json.dumps({
-        "metric": "atrium_multichip_pixels_per_sec",
-        "value": round(pix_s / 1e6, 4),
-        "unit": "Mpix/s",
-        "vs_baseline": None,
+        "metric": "atrium_multichip_mrays_per_sec",
+        "value": round(total_rays / dt / 1e6, 4),
+        "unit": "Mrays/s",
+        "vs_baseline": round(total_rays / dt / 1e6 / 500.0, 5),
         "extra": {
             "devices": n_dev,
             "mesh": dict(mesh.shape),
             "virtual_cpu": bool(n_virtual),
             "size": [w, h],
             "s_per_frame": round(dt / ITERS, 3),
+            "rays_per_frame": total_rays // ITERS,
             "warmup_s": round(t_warm, 1),
+            "build": times,
         },
     }))
 
 
 def main():
     import jax
-
-    from vk_raytrace_tpu.models import procedural
-    from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
-    from vk_raytrace_tpu import render as R
+    from vk_raytrace_tpu.utils import device as devutil
 
     t_start = time.time()
-
-    geom, mats, lights, cam, atlas = procedural.atrium_scene()
+    geom, scene, cfg, r, times = _build_atrium(W, H)
     n_tris = int(geom.indices.shape[0])
-    scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
-    cfg = RenderConfig(
-        width=W,
-        height=H,
-        max_depth=4,
-        max_samples=1,
-        hdr_multiplier=1.0,
-        pbr_mode=PBR_GLTF,
-        firefly_clamp=10.0,
-        use_sun_sky=True,
-    )
-    r = R.Renderer(scene, cfg)
-    jax.block_until_ready(r.packed.opaque.rows)
     t_build = time.time() - t_start
 
     t0 = time.time()
@@ -176,6 +182,10 @@ def main():
             "rays_per_frame": total_rays // ITERS,
             "s_per_frame": round(dt / ITERS, 2),
             "build_s": round(t_build, 1),
+            "build": times,
+            "tunnel_handshake_s": (
+                round(devutil.warm_seconds, 1) if devutil.warm_seconds else None
+            ),
             "warmup_s": round(t_compile, 1),
             "frames_timed": ITERS,
             "devices": len(jax.devices()),

@@ -48,9 +48,10 @@ class TestTileSharding:
         packed_r = sharding.replicate(mesh, packed)
         step = sharding.sharded_render_step(mesh, scene_r, packed_r, cfg, False)
         accum = sharding.shard_accum(mesh, jnp.zeros((32, 32, 3), jnp.float32))
-        accum = step(accum, jnp.asarray(0, jnp.int32))
+        accum, rays = step(accum, jnp.asarray(0, jnp.int32))
         multi = np.asarray(jax.device_get(accum))
 
+        assert int(rays) > 0  # global in-integrator ray count (psum over ICI)
         assert np.allclose(single, multi, atol=1e-6), np.abs(single - multi).max()
 
     def test_sample_axis_averages(self, cornell):
@@ -66,7 +67,7 @@ class TestTileSharding:
         packed_r = sharding.replicate(mesh, packed)
         step = sharding.sharded_render_step(mesh, scene_r, packed_r, cfg, False)
         accum = sharding.shard_accum(mesh, jnp.zeros((32, 32, 3), jnp.float32))
-        accum = step(accum, jnp.asarray(0, jnp.int32))
+        accum, rays = step(accum, jnp.asarray(0, jnp.int32))
         multi = np.asarray(jax.device_get(accum))
 
         r = R.Renderer(scene, cfg)
@@ -86,7 +87,7 @@ class TestTileSharding:
         step = sharding.sharded_render_step(mesh, scene_r, packed_r, cfg, False)
         accum = sharding.shard_accum(mesh, jnp.zeros((16, 16, 3), jnp.float32))
         for f in range(3):
-            accum = step(accum, jnp.asarray(f, jnp.int32))
+            accum, _rays = step(accum, jnp.asarray(f, jnp.int32))
         multi = np.asarray(jax.device_get(accum))
 
         r = R.Renderer(scene, cfg)

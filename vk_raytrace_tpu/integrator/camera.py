@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.schema import Camera
 from ..ops import rng
@@ -26,11 +27,10 @@ def with_aspect(cam: Camera, width: int, height: int) -> Camera:
     perspective inverse ``proj_inverse[1,1] = -tan(fov/2)`` is
     aspect-invariant, so ``proj_inverse[0,0] = aspect * tan(fov/2)``
     re-derives the x scale exactly."""
-    aspect = jnp.float32(width / height)
-    tan_half_fov = jnp.abs(cam.proj_inverse[1, 1])
-    return cam._replace(
-        proj_inverse=cam.proj_inverse.at[0, 0].set(aspect * tan_half_fov)
-    )
+    # Host numpy (scene build stays off-device; see models/builder.py).
+    pi = np.array(np.asarray(cam.proj_inverse), np.float32)
+    pi[0, 0] = (width / height) * abs(float(pi[1, 1]))
+    return cam._replace(proj_inverse=pi)
 
 
 def generate_rays(

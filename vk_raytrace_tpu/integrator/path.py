@@ -420,6 +420,9 @@ def sample_pixels(
     """One sample per pixel: path trace + firefly clamp
     (``samplePixel``, pathtrace.glsl:348-387). Returns (radiance, seed, aux).
     """
+    # Lift host-numpy scene tables for eager callers (no-op under jit —
+    # scene construction stays host-side, models/builder.py).
+    scene, packed = jax.tree.map(jnp.asarray, (scene, packed))
     st = trace_paths(
         scene, packed, cfg, origin, direction, seed, has_alpha,
         tracer=tracer, features=features,

@@ -82,7 +82,7 @@ def build_shade_rows(geom: Geometry) -> jax.Array:
     rows[:, 28:34:2] = (c3 & 0xFFFF).astype(np.float32)
     rows[:, 29:34:2] = (c3 >> 16).astype(np.float32)
     rows[:, 34] = np.maximum(np.asarray(geom.tri_material), 0)
-    return jnp.asarray(rows)
+    return rows
 
 
 def _join16(lo: jax.Array, hi: jax.Array) -> jax.Array:

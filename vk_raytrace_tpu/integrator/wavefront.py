@@ -76,14 +76,22 @@ def render_units_pooled(
     n_pix: int,             # static slice size
     pool: int,              # static lane-pool size
     features=None,          # static MatFeatures (see integrator/shade.py)
+    stream=None,            # () i32 RNG stream id; defaults to ``frame``.
+                            # Multi-chip sample shards pass a globally
+                            # unique stream while keeping ``frame`` for the
+                            # jitter gate (parallel/sharding.py)
     track_steps: bool = False,  # per-pixel traversal-step image (heatmap/
                             # stats); the scatter-add costs ~3.5ms/iteration
                             # at 524k lanes, so production frames skip it
 ):
     """Trace ``n_pix * cfg.max_samples`` paths; returns
     ``(radiance_mean (n_pix, 3), steps (n_pix,), rays ())``."""
+    # Lift host-numpy scene tables for eager callers (no-op under jit).
+    scene, packed = jax.tree.map(jnp.asarray, (scene, packed))
     w, h = cfg.width, cfg.height
     spp = cfg.max_samples
+    if stream is None:
+        stream = frame
     total_units = n_pix * spp
 
     alpha_ctx = (
@@ -108,7 +116,7 @@ def render_units_pooled(
         upix = pix0.astype(jnp.uint32) + (unit // spp).astype(jnp.uint32)
         usamp = (unit % spp).astype(jnp.uint32)
         seed_new = rng.tea(
-            upix, frame.astype(jnp.uint32) * spp + usamp
+            upix, stream.astype(jnp.uint32) * spp + usamp
         )
         o, d, seed_new = generate_rays_for_pixels(
             scene.camera, w, h, upix, frame, seed_new

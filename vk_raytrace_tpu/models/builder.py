@@ -10,7 +10,6 @@ triangle pool (see ``models/schema.py`` for the rationale).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from .. import runtime
 from .schema import ALPHA_OPAQUE, Geometry, Materials
@@ -117,16 +116,23 @@ class GeometryBuilder:
             mat = np.concatenate([mat, mat[:1]])
             flags = np.concatenate([flags, np.zeros(1, np.int32)])
 
+        # Host numpy arrays throughout: scene CONSTRUCTION must never touch
+        # the device. Every device->host readback over the remote-TPU tunnel
+        # costs seconds (the first one in a process costs ~2 minutes), and
+        # the build pipeline (shade rows, native SAH, alpha prebake) reads
+        # all of these back. Renderer.__init__ does ONE device_put at the
+        # end (the reference likewise uploads staged host buffers once,
+        # scene.cpp:93-103).
         return Geometry(
-            positions=jnp.asarray(pos),
-            normals=jnp.asarray(_oct_encode_np(nrm)),
-            tangents=jnp.asarray(_oct_encode_np(tan[:, :3])),
-            tangent_handedness=jnp.asarray(hand),
-            uv=jnp.asarray(uv),
-            color=jnp.asarray(_pack_rgba8(col)),
-            indices=jnp.asarray(idx),
-            tri_material=jnp.asarray(mat),
-            tri_flags=jnp.asarray(flags),
+            positions=pos,
+            normals=_oct_encode_np(nrm),
+            tangents=_oct_encode_np(tan[:, :3]),
+            tangent_handedness=hand,
+            uv=uv,
+            color=_pack_rgba8(col),
+            indices=idx,
+            tri_material=mat,
+            tri_flags=flags,
         )
 
 

@@ -137,10 +137,10 @@ class InstancedSceneBuilder:
             amin[i] = cw - ew
             amax[i] = cw + ew
         inst = InstanceTable(
-            object_to_world=jnp.asarray(o2w),
-            world_to_object=jnp.asarray(w2o),
-            mesh_id=jnp.asarray(self._inst_mesh, jnp.int32),
-            aabb_min=jnp.asarray(amin),
-            aabb_max=jnp.asarray(amax),
+            object_to_world=np.asarray(o2w, np.float32),
+            world_to_object=np.asarray(w2o, np.float32),
+            mesh_id=np.asarray(self._inst_mesh, np.int32),
+            aabb_min=np.asarray(amin, np.float32),
+            aabb_max=np.asarray(amax, np.float32),
         )
         return pool, inst

@@ -92,11 +92,13 @@ def look_at_camera(
     if focal_dist <= 0.0:
         focal_dist = float(np.linalg.norm(center - eye))
 
+    # Host-side arrays: scene construction never touches the device (see
+    # models/builder.py::GeometryBuilder.build).
     return Camera(
-        view_inverse=jnp.asarray(np.linalg.inv(view), jnp.float32),
-        proj_inverse=jnp.asarray(np.linalg.inv(proj), jnp.float32),
-        focal_dist=jnp.asarray(focal_dist, jnp.float32),
-        aperture=jnp.asarray(aperture, jnp.float32),
+        view_inverse=np.linalg.inv(view).astype(np.float32),
+        proj_inverse=np.linalg.inv(proj).astype(np.float32),
+        focal_dist=np.float32(focal_dist),
+        aperture=np.float32(aperture),
     )
 
 

@@ -202,8 +202,8 @@ class SunSky(NamedTuple):
 
 def default_sun_sky(in_use: bool = False) -> SunSky:
     """Defaults from ``sample_example.hpp:175-192``."""
-    f = lambda v: jnp.asarray(v, jnp.float32)
-    i = lambda v: jnp.asarray(v, jnp.int32)
+    f = lambda v: np.asarray(v, np.float32)
+    i = lambda v: np.asarray(v, np.int32)
     return SunSky(
         rgb_unit_conversion=f([1.0, 1.0, 1.0]),
         multiplier=f(0.0000101320),
@@ -286,8 +286,8 @@ class Tonemapper(NamedTuple):
 
 
 def default_tonemapper() -> Tonemapper:
-    f = lambda v: jnp.asarray(v, jnp.float32)
-    i = lambda v: jnp.asarray(v, jnp.int32)
+    f = lambda v: np.asarray(v, np.float32)
+    i = lambda v: np.asarray(v, np.int32)
     return Tonemapper(
         brightness=f(1.0),
         contrast=f(1.0),
@@ -345,7 +345,11 @@ class RenderConfig:
 
 
 def _np(x, dtype):
-    return jnp.asarray(np.asarray(x), dtype=dtype)
+    # Host numpy, not device arrays: scene tables are consumed by host-side
+    # build passes (shade rows, native SAH, feature probes) before Renderer
+    # uploads them once; device commits here would make every such pass a
+    # slow tunnel readback (see models/builder.py::GeometryBuilder.build).
+    return np.asarray(np.asarray(x), dtype=dtype)
 
 
 def make_materials(rows: list[dict]) -> Materials:
@@ -422,28 +426,30 @@ def dummy_atlas() -> TextureAtlas:
     """1x1 white atlas used when a scene has no textures (the reference
     similarly substitutes dummy textures, scene.cpp:496-533)."""
     return TextureAtlas(
-        data=jnp.full((8, 128, 4), 255, jnp.uint8),
-        x=jnp.zeros((1,), jnp.int32),
-        y=jnp.zeros((1,), jnp.int32),
-        width=jnp.ones((1,), jnp.int32),
-        height=jnp.ones((1,), jnp.int32),
-        wrap_s=jnp.zeros((1,), jnp.int32),
-        wrap_t=jnp.zeros((1,), jnp.int32),
+        data=np.full((8, 128, 4), 255, np.uint8),
+        x=np.zeros((1,), np.int32),
+        y=np.zeros((1,), np.int32),
+        width=np.ones((1,), np.int32),
+        height=np.ones((1,), np.int32),
+        wrap_s=np.zeros((1,), np.int32),
+        wrap_t=np.zeros((1,), np.int32),
     )
 
 
 def dummy_environment(color=(1.0, 1.0, 1.0)) -> Environment:
     """Constant-color 2x4 environment with a valid alias table."""
-    img = jnp.broadcast_to(jnp.asarray(color, jnp.float32), (2, 4, 3))
+    img = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(color, np.float32), (2, 4, 3))
+    )
     n = 8
     return Environment(
         image=img,
         accel=EnvAccel(
-            alias=jnp.arange(n, dtype=jnp.int32),
-            q=jnp.ones((n,), jnp.float32),
-            pdf=jnp.full((n,), 1.0 / (4.0 * np.pi), jnp.float32),
-            alias_pdf=jnp.full((n,), 1.0 / (4.0 * np.pi), jnp.float32),
+            alias=np.arange(n, dtype=np.int32),
+            q=np.ones((n,), np.float32),
+            pdf=np.full((n,), 1.0 / (4.0 * np.pi), np.float32),
+            alias_pdf=np.full((n,), 1.0 / (4.0 * np.pi), np.float32),
         ),
-        integral=jnp.asarray(4.0 * np.pi * float(np.max(color)), jnp.float32),
-        average=jnp.asarray(float(np.mean(color)), jnp.float32),
+        integral=np.float32(4.0 * np.pi * float(np.max(color))),
+        average=np.float32(float(np.mean(color))),
     )

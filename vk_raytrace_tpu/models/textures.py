@@ -88,11 +88,11 @@ class AtlasBuilder:
             data[ys[i] : ys[i] + h, xs[i] : xs[i] + w] = im
 
         return TextureAtlas(
-            data=jnp.asarray(data),
-            x=jnp.asarray(xs, jnp.int32),
-            y=jnp.asarray(ys, jnp.int32),
-            width=jnp.asarray([im.shape[1] for im in self._images], jnp.int32),
-            height=jnp.asarray([im.shape[0] for im in self._images], jnp.int32),
-            wrap_s=jnp.asarray([w[0] for w in self._wraps], jnp.int32),
-            wrap_t=jnp.asarray([w[1] for w in self._wraps], jnp.int32),
+            data=np.asarray(data),
+            x=np.asarray(xs, np.int32),
+            y=np.asarray(ys, np.int32),
+            width=np.asarray([im.shape[1] for im in self._images], np.int32),
+            height=np.asarray([im.shape[0] for im in self._images], np.int32),
+            wrap_s=np.asarray([w[0] for w in self._wraps], np.int32),
+            wrap_t=np.asarray([w[1] for w in self._wraps], np.int32),
         )

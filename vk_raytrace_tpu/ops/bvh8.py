@@ -209,7 +209,7 @@ def collapse_bvh8(
     rows[:n_wide, 0:48] = aabb.reshape(n_wide, 48)
     rows[:n_wide, 48:56] = ref
 
-    return WideScene(rows=jnp.asarray(rows), stack_depth=_stack_bound(rows))
+    return WideScene(rows=rows, stack_depth=_stack_bound(rows))
 
 
 class AccelBundle(NamedTuple):
@@ -247,7 +247,7 @@ def _wide_native(
     )
     if rows is None:
         return None
-    return WideScene(rows=jnp.asarray(rows), stack_depth=_stack_bound(rows))
+    return WideScene(rows=rows, stack_depth=_stack_bound(rows))
 
 
 def _with_planar(
@@ -275,7 +275,64 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     """Split the scene by the per-triangle alpha flag and build the wide
     structure(s). Prefers the native SAH builder; falls back to the device
     LBVH + host collapse (reusing ``bvh_full`` when there is nothing to
-    split)."""
+    split). Results are disk-cached by geometry content hash
+    (utils/cache.py) — the reference gets millisecond driver BLAS builds
+    (accelstruct.cpp:110-127); repeat runs here get an ``np.load``."""
+    from ..utils import cache as _cache
+
+    key = _cache.content_key(
+        "accel-v1", geom.positions, geom.indices, geom.uv, geom.tri_flags
+    )
+    hit = _cache.load(key)
+    if hit is not None:
+        try:
+            return _bundle_from_cache(hit)
+        except Exception:
+            pass
+    bundle = _build_accel_bundle_impl(geom, bvh_full)
+    _bundle_to_cache(key, bundle, _cache)
+    return bundle
+
+
+def _bundle_from_cache(z: dict) -> AccelBundle:
+    from .traverse_fused import PlanarScene
+
+    alpha = None
+    if "alpha_rows" in z:
+        alpha = WideScene(z["alpha_rows"], stack_depth=int(z["alpha_depth"]))
+    planar = None
+    if "planar_rows" in z:
+        planar = PlanarScene(
+            z["planar_rows"],
+            stack_depth=int(z["planar_depth"]),
+            width=int(z["planar_width"]),
+        )
+    return AccelBundle(
+        opaque=WideScene(z["opaque_rows"], stack_depth=int(z["opaque_depth"])),
+        alpha=alpha,
+        opaque_planar=planar,
+    )
+
+
+def _bundle_to_cache(key: str, b: AccelBundle, _cache) -> None:
+    arrays = dict(
+        opaque_rows=b.opaque.rows,
+        opaque_depth=b.opaque.stack_depth,
+    )
+    if b.alpha is not None:
+        arrays.update(alpha_rows=b.alpha.rows, alpha_depth=b.alpha.stack_depth)
+    if b.opaque_planar is not None:
+        arrays.update(
+            planar_rows=b.opaque_planar.rows,
+            planar_depth=b.opaque_planar.stack_depth,
+            planar_width=b.opaque_planar.width,
+        )
+    _cache.save(key, **arrays)
+
+
+def _build_accel_bundle_impl(
+    geom: Geometry, bvh_full: BVH | None = None
+) -> AccelBundle:
     from .bvh import build_bvh
 
     flags = np.asarray(geom.tri_flags)
@@ -302,9 +359,7 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
             tf = np.concatenate([tf, np.zeros(2 - len(ids), tf.dtype)])
             sub_ids = np.concatenate([ids, np.zeros(2 - len(ids), ids.dtype)])
         sub = geom._replace(
-            indices=jnp.asarray(idx),
-            tri_material=jnp.asarray(tm),
-            tri_flags=jnp.asarray(tf),
+            indices=idx, tri_material=tm, tri_flags=tf
         )
         return sub, sub_ids
 

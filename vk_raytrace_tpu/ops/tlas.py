@@ -96,9 +96,9 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
         rows = runtime.build_bvh8_rows(pos, idx[sl], uvs, flg[sl], tri_ids=ids)
         if rows is None:
             sub = geom._replace(
-                indices=jnp.asarray(idx[sl]),
-                tri_material=geom.tri_material[sl],
-                tri_flags=jnp.asarray(flg[sl]),
+                indices=idx[sl],
+                tri_material=np.asarray(geom.tri_material)[sl],
+                tri_flags=flg[sl],
             )
             bvh = build_bvh(sub.positions, sub.indices)
             rows = np.asarray(collapse_bvh8(bvh, sub, tri_ids=ids).rows)
@@ -118,10 +118,10 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
     all_rows = np.concatenate(tables, axis=0)
     from .traverse_fused import planarize
 
-    blas = WideScene(rows=jnp.asarray(all_rows), stack_depth=depth)
+    blas = WideScene(rows=all_rows, stack_depth=depth)
     return InstancedAccel(
         blas=blas,
-        mesh_root=jnp.asarray(roots, jnp.int32),
+        mesh_root=np.asarray(roots, np.int32),
         inst=inst,
         blas_planar=planarize(blas, roots=roots),
     )
@@ -180,6 +180,8 @@ def _two_level(
     active: Optional[jax.Array],
 ):
     r = origin.shape[0]
+    # Lift host-numpy tables for eager callers (no-op under jit).
+    accel = jax.tree.map(jnp.asarray, accel)
     if seed is None:
         seed = jnp.zeros((r,), jnp.uint32)
     act = jnp.ones((r,), bool) if active is None else active

@@ -128,7 +128,7 @@ def planarize(wide, roots=None) -> PlanarScene:
     out = np.empty_like(rows)
     out[interior] = rows[interior][:, _PERM_INT]
     out[~interior] = rows[~interior][:, _PERM_LEAF]
-    return PlanarScene(rows=jnp.asarray(out), stack_depth=int(wide.stack_depth))
+    return PlanarScene(rows=out, stack_depth=int(wide.stack_depth))
 
 
 def planar16_native(geom, tri_ids=None) -> "PlanarScene | None":
@@ -146,7 +146,7 @@ def planar16_native(geom, tri_ids=None) -> "PlanarScene | None":
     if out is None:
         return None
     rows, depth = out
-    return PlanarScene(rows=jnp.asarray(rows), stack_depth=depth, width=16)
+    return PlanarScene(rows=rows, stack_depth=depth, width=16)
 
 
 _STAGES = {
@@ -390,7 +390,7 @@ def _traverse_fused(
     active_in: Optional[jax.Array],
     root0: Optional[jax.Array] = None,   # per-lane BLAS roots (ops/tlas.py)
 ) -> Hit:
-    rows = planar.rows
+    rows = jnp.asarray(planar.rows)   # no-op under jit; lifts host tables
     stack_depth = planar.stack_depth
     r_in = origin.shape[0]
     r = _pad_to_block(r_in)

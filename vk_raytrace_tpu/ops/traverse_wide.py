@@ -66,7 +66,8 @@ def make_alpha_pack(ctx: AlphaCtx, tri_material=None) -> AlphaPack:
         rows = rows[jnp.clip(tri_material, 0, rows.shape[0] - 1)]
     return AlphaPack(
         rows=rows,
-        alpha_plane=ctx.atlas.data[:, :, 3].reshape(-1),
+        # jnp.asarray: lifts host-numpy atlases for eager callers
+        alpha_plane=jnp.asarray(ctx.atlas.data)[:, :, 3].reshape(-1),
         atlas_width=int(ctx.atlas.data.shape[1]),
     )
 
@@ -123,7 +124,9 @@ def _traverse_wide(
     active_in: Optional[jax.Array],
     root0: Optional[jax.Array] = None,
 ):
-    rows = wide.rows
+    # jnp.asarray: no-op under jit; lifts host-numpy row tables (scene
+    # build keeps everything host-side) for eager callers like tests/pick.
+    rows = jnp.asarray(wide.rows)
     n_rows = rows.shape[0]
     r = origin.shape[0]
     inv_d = 1.0 / jnp.where(

@@ -6,18 +6,23 @@ the multi-chip scaling the TPU rebuild adds as a first-class capability:
 * **Mesh axes**: ``tile`` shards image rows (pure data parallelism over
   pixels — the accumulation buffer lives sharded, no communication on the
   hot path), ``sample`` splits samples-per-pixel across chips and reduces
-  with a single ``psum`` per frame over ICI.
+  with a single ``pmean`` per frame over ICI.
+* **Production path**: each shard runs the pooled wavefront with ray
+  regeneration (``integrator/wavefront.py``) over its own pixel slice —
+  the same integrator that produces the single-chip headline numbers, not
+  a debug path. The pooled ``pix0``/``n_pix`` slicing maps directly onto
+  the tile axis.
 * **Scene replication**: scene SoA + BVH are replicated (Sponza-scale fits
   HBM easily, SURVEY.md §5); only the image is sharded.
-* **Deterministic RNG**: per-pixel streams are seeded from the *global*
-  pixel id and (frame, sample-shard) — chip count changes the schedule, not
-  the estimator, and tile-sharded output is bit-comparable to single-device
-  rendering up to the sample-axis reduction order.
+* **Deterministic RNG**: per-path streams are seeded from the *global*
+  pixel id and a globally unique stream id ``frame * n_sample +
+  sample_idx`` — chip count changes the schedule, never the estimator, and
+  tile-sharded output is bit-identical to the single-device pooled render
+  at ``sample=1`` (``tests/test_sharding.py``).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -27,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..integrator.camera import generate_rays_for_pixels
 from ..integrator.path import sample_pixels
+from ..integrator.wavefront import render_units_pooled
 from ..models.schema import RenderConfig, SceneData
 from ..ops import rng
 from ..ops.bvh8 import AccelBundle
@@ -66,13 +72,74 @@ def sharded_render_step(
     packed: AccelBundle,
     cfg: RenderConfig,
     has_alpha: bool,
+    features=None,
+    pool: Optional[int] = None,
 ):
-    """Build the jitted multi-chip progressive-frame function.
+    """Build the jitted multi-chip progressive-frame function over the
+    PRODUCTION pooled-wavefront integrator.
 
-    Returns ``step(accum_sharded, frame) -> accum_sharded`` where ``accum``
-    is row-sharded over the ``tile`` axis. Samples per frame =
-    ``cfg.max_samples * mesh.shape['sample']``.
+    Returns ``step(accum_sharded, frame) -> (accum_sharded, rays)`` where
+    ``accum`` is row-sharded over the ``tile`` axis and ``rays`` is the
+    global in-integrator ray count for the frame (one psum over ICI).
+    Samples per frame = ``cfg.max_samples * mesh.shape['sample']``.
     """
+    from ..render import POOL_LANES
+
+    h, w = cfg.height, cfg.width
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    assert h % n_tile == 0, f"height {h} not divisible by tile axis {n_tile}"
+    rows = h // n_tile
+    n_pix = rows * w
+    if pool is None:
+        pool = min(POOL_LANES, max(1024, n_pix * cfg.max_samples))
+
+    def chunk_step(scene_, packed_, accum_chunk, frame):
+        tile_idx = jax.lax.axis_index("tile")
+        sample_idx = jax.lax.axis_index("sample")
+        pix0 = (tile_idx * n_pix).astype(jnp.int32)
+        # Globally unique RNG stream per (frame, sample shard): the pooled
+        # integrator seeds tea(pixel, stream*spp + s), so stream =
+        # frame*n_sample + sample_idx never collides across chips. The
+        # TRUE frame still drives the jitter gate so sample shards stay
+        # estimator-compatible with the single-chip path.
+        stream = frame * n_sample + sample_idx
+        out, _steps, rays = render_units_pooled(
+            scene_, packed_, cfg, frame, has_alpha, pix0, n_pix, pool,
+            features=features, stream=stream,
+        )
+        # Average the per-chip sample estimates over ICI; aggregate the
+        # honest ray count — the frame's only collectives.
+        new = jax.lax.pmean(out, "sample")
+        rays = jax.lax.psum(rays, ("tile", "sample"))
+        new = new.reshape(rows, w, 3)
+        a = 1.0 / (frame.astype(jnp.float32) + 1.0)
+        return accum_chunk + (new - accum_chunk) * a, rays
+
+    shard_fn = jax.shard_map(
+        chunk_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tile", None, None), P()),
+        out_specs=(P("tile", None, None), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(accum, frame):
+        return shard_fn(scene, packed, accum, frame)
+
+    return step
+
+
+def sharded_render_step_unrolled(
+    mesh: Mesh,
+    scene: SceneData,
+    packed: AccelBundle,
+    cfg: RenderConfig,
+    has_alpha: bool,
+):
+    """The unrolled per-depth integrator over the same mesh (debug render
+    modes ride this path, matching ``Renderer._frame_strips``)."""
     h, w = cfg.height, cfg.width
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -105,8 +172,6 @@ def sharded_render_step(
             total = total + radiance
 
         new = total / cfg.max_samples
-        # Average the per-chip sample estimates over ICI (one collective
-        # per frame — the only communication in the hot path).
         new = jax.lax.pmean(new, "sample")
         new = new.reshape(rows, w, 3)
         a = 1.0 / (frame.astype(jnp.float32) + 1.0)

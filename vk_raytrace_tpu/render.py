@@ -82,7 +82,7 @@ def build_scene(
         geometry=geometry,
         materials=materials,
         lights=lights,
-        n_lights=jnp.asarray(n_lights, jnp.int32),
+        n_lights=np.int32(n_lights),
         atlas=atlas if atlas is not None else dummy_atlas(),
         env=env if env is not None else dummy_environment(),
         camera=camera,
@@ -93,17 +93,20 @@ def build_scene(
 
 
 def _build_binary_bvh_cpu(geometry: Geometry):
-    """Run the jitted LBVH build on the CPU backend and return uncommitted
-    arrays (safe to feed into TPU-jitted functions)."""
+    """Run the jitted LBVH build on the CPU backend and return HOST numpy
+    arrays. Scene build must never touch the accelerator: device round
+    trips over a remote-TPU tunnel cost seconds each (and the first
+    readback in a process, minutes); every downstream build pass reads
+    the result back."""
+    pos = np.asarray(geometry.positions)
+    idx = np.asarray(geometry.indices)
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
-        return build_bvh(geometry.positions, geometry.indices)
-    pos = jnp.asarray(np.asarray(geometry.positions))
-    idx = jnp.asarray(np.asarray(geometry.indices))
+        return build_bvh(pos, idx)
     with jax.default_device(cpu):
-        bvh = build_bvh(pos, idx)
-    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), bvh)
+        bvh = build_bvh(jnp.asarray(pos), jnp.asarray(idx))
+    return jax.tree.map(lambda a: np.asarray(a), bvh)
 
 
 def build_instanced_scene(
@@ -132,7 +135,7 @@ def build_instanced_scene(
         geometry=pool.geometry,
         materials=materials,
         lights=lights,
-        n_lights=jnp.asarray(n_lights, jnp.int32),
+        n_lights=np.int32(n_lights),
         atlas=atlas if atlas is not None else dummy_atlas(),
         env=env if env is not None else dummy_environment(),
         camera=camera,
@@ -165,6 +168,25 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
         return scene, cfg
     from .models.hdr import build_environment
     from .ops.sunsky import bake_environment
+    from .models.schema import EnvAccel, Environment
+    from .utils import cache as _cache
+
+    key = _cache.content_key("sunsky-v1", *scene.sun_sky)
+    hit = _cache.load(key)
+    if hit is not None:
+        env = Environment(
+            image=hit["image"],
+            accel=EnvAccel(
+                alias=hit["alias"], q=hit["q"], pdf=hit["pdf"],
+                alias_pdf=hit["alias_pdf"],
+            ),
+            integral=hit["integral"], average=hit["average"],
+            rows=hit["rows"],
+        )
+        return (
+            scene._replace(env=env),
+            dataclasses.replace(cfg, use_sun_sky=False),
+        )
 
     # Bake + alias build run on the CPU backend: these are scene-build
     # programs whose one-off TPU tunnel compile (minutes when the persistent
@@ -177,10 +199,16 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
         with jax.default_device(cpu):
             img = bake_environment(scene.sun_sky)
             env = build_environment(img)
-        env = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), env)
+        env = jax.tree.map(lambda a: np.asarray(a), env)
     else:
         img = bake_environment(scene.sun_sky)
         env = build_environment(img)
+    _cache.save(
+        key,
+        image=env.image, alias=env.accel.alias, q=env.accel.q,
+        pdf=env.accel.pdf, alias_pdf=env.accel.alias_pdf,
+        integral=env.integral, average=env.average, rows=env.rows,
+    )
     scene = scene._replace(env=env)
     cfg = dataclasses.replace(cfg, use_sun_sky=False)
     return scene, cfg
@@ -301,7 +329,13 @@ class Renderer:
         """``packed`` reuses a prebuilt AccelBundle (GUI-style live config
         edits rebuild the renderer without rebuilding acceleration
         structures — the reference keeps BLAS/TLAS across UI changes)."""
+        import time as _time
+
         self.cfg = cfg
+        from .utils.device import warm_transfers_async
+
+        warm_transfers_async()  # overlap tunnel handshake with host build
+        self.build_times: dict[str, float] = {}
         # Reference recomputes proj from the window size every frame
         # (scene.cpp:629-668); do the equivalent once per config.
         from .integrator.camera import with_aspect
@@ -309,18 +343,31 @@ class Renderer:
         scene = scene._replace(
             camera=with_aspect(scene.camera, cfg.width, cfg.height)
         )
+        t0 = _time.time()
         self.scene, self._run_cfg = prepare_sun_sky(scene, cfg)
+        self.build_times["sky_bake_s"] = _time.time() - t0
         self.tonemapper = tonemapper or default_tonemapper()
+        t0 = _time.time()
         if packed is not None:
             self.packed = packed
         elif scene.instances is not None:
             self.packed = scene.instances  # prebuilt two-level structure
         else:
             self.packed = pack_scene(scene.bvh, scene.geometry)
+        self.build_times["accel_s"] = _time.time() - t0
         self.has_alpha = scene_has_alpha(scene)
         from .integrator.shade import mat_features
 
         self.features = mat_features(scene.materials)
+        # ONE host->device upload of everything the hot path reads. All
+        # build passes above run on host numpy (models/builder.py rationale);
+        # committing earlier would turn each of them into a device readback
+        # over the tunnel. The reference stages host buffers and submits one
+        # upload command buffer the same way (scene.cpp:93-103).
+        t0 = _time.time()
+        self.scene, self.packed = jax.device_put((self.scene, self.packed))
+        jax.block_until_ready(self.packed)
+        self.build_times["upload_s"] = _time.time() - t0
         self.reset()
 
     # -- frame/accumulation control (sample_example.cpp:183-207) -----------
