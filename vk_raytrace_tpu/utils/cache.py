@@ -69,7 +69,9 @@ def save(key: str, **arrays) -> None:
     if d is None:
         return
     path = os.path.join(d, key + ".npz")
-    tmp = path + f".tmp{os.getpid()}"
+    # np.savez appends ".npz" when the name lacks it — the tmp name must
+    # already end in ".npz" or the atomic rename below can never find it.
+    tmp = path + f".tmp{os.getpid()}.npz"
     try:
         np.savez(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(tmp, path)
