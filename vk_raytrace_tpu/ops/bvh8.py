@@ -224,12 +224,14 @@ class AccelBundle(NamedTuple):
 
     ``opaque_planar`` is the lane-permuted copy of the opaque rows consumed
     by the fused Pallas traversal (ops/traverse_fused.py); None falls back
-    to the XLA body everywhere.
+    to the XLA body everywhere. ``alpha_planar`` is the same for the alpha
+    tree (candidate-rounds fused alpha, ops/traverse_alpha.py).
     """
 
     opaque: WideScene
     alpha: WideScene | None
     opaque_planar: object | None = None
+    alpha_planar: object | None = None
 
 
 def _wide_native(
@@ -281,7 +283,7 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     from ..utils import cache as _cache
 
     key = _cache.content_key(
-        "accel-v1", geom.positions, geom.indices, geom.uv, geom.tri_flags
+        "accel-v2", geom.positions, geom.indices, geom.uv, geom.tri_flags
     )
     hit = _cache.load(key)
     if hit is not None:
@@ -307,10 +309,18 @@ def _bundle_from_cache(z: dict) -> AccelBundle:
             stack_depth=int(z["planar_depth"]),
             width=int(z["planar_width"]),
         )
+    alpha_planar = None
+    if "aplanar_rows" in z:
+        alpha_planar = PlanarScene(
+            z["aplanar_rows"],
+            stack_depth=int(z["aplanar_depth"]),
+            width=int(z["aplanar_width"]),
+        )
     return AccelBundle(
         opaque=WideScene(z["opaque_rows"], stack_depth=int(z["opaque_depth"])),
         alpha=alpha,
         opaque_planar=planar,
+        alpha_planar=alpha_planar,
     )
 
 
@@ -326,6 +336,12 @@ def _bundle_to_cache(key: str, b: AccelBundle, _cache) -> None:
             planar_rows=b.opaque_planar.rows,
             planar_depth=b.opaque_planar.stack_depth,
             planar_width=b.opaque_planar.width,
+        )
+    if b.alpha_planar is not None:
+        arrays.update(
+            aplanar_rows=b.alpha_planar.rows,
+            aplanar_depth=b.alpha_planar.stack_depth,
+            aplanar_width=b.alpha_planar.width,
         )
     _cache.save(key, **arrays)
 
@@ -368,12 +384,33 @@ def _build_accel_bundle_impl(
     wide_o = _wide_native(geo_o, tri_ids=ids_o)
     wide_a = _wide_native(geo_a, tri_ids=ids_a)
     if wide_o is not None and wide_a is not None:
-        return _with_planar(
+        bundle = _with_planar(
             AccelBundle(opaque=wide_o, alpha=wide_a), geo_o, ids_o
         )
+        return _with_alpha_planar(bundle, geo_a, ids_a)
     bvh_o = build_bvh(geo_o.positions, geo_o.indices)
     bvh_a = build_bvh(geo_a.positions, geo_a.indices)
-    return _with_planar(AccelBundle(
+    bundle = _with_planar(AccelBundle(
         opaque=collapse_bvh8(bvh_o, geo_o, tri_ids=ids_o),
         alpha=collapse_bvh8(bvh_a, geo_a, tri_ids=ids_a),
     ), geo_o, ids_o)
+    return _with_alpha_planar(bundle, geo_a, ids_a)
+
+
+def _with_alpha_planar(
+    bundle: AccelBundle, geo_a: Geometry, ids_a: np.ndarray
+) -> AccelBundle:
+    """Attach the fused-kernel planar structure for the alpha set (the
+    candidate-rounds alpha path, ops/traverse_alpha.py). Same preference
+    order as the opaque planar: native 16-wide SAH, else lane permutation
+    of the 8-wide table."""
+    from .traverse_fused import planar16_native, planarize
+
+    planar = None
+    try:
+        planar = planar16_native(geo_a, tri_ids=ids_a)
+    except Exception:
+        planar = None
+    if planar is None and bundle.alpha is not None:
+        planar = planarize(bundle.alpha)
+    return bundle._replace(alpha_planar=planar)

@@ -27,9 +27,12 @@ Design points (all dictated by Mosaic/TPU lowering):
 
 Semantics match ``_traverse_wide`` for OPAQUE trees (``alpha_ctx=None``):
 backface culling by the double-sided flag, any-hit early termination.
-The AccelBundle opaque/alpha split (ops/bvh8.py) routes alpha-cutout
-geometry through the XLA path, so the fused kernel serves the hot passes:
-opaque closest-hit and opaque shadow rays (traceray_rq.glsl:108-147
+Alpha-cutout geometry (the AccelBundle alpha tree, ops/bvh8.py) ALSO runs
+on this kernel since round 3: ``candidates=True`` kernels track the
+nearest ALPHA-flagged triangle in a separate meta slot (plus its in-kernel
+interpolated texture UV) without letting it prune t_best, and
+ops/traverse_alpha.py resolves the stochastic test in XLA between
+candidate rounds (pathtrace.rahit:53-114 / traceray_rq.glsl:32-147
 semantics).
 """
 
@@ -62,8 +65,19 @@ PHASE_DIVS = (4, 16, 64)
 # phases end nearer the live-fraction thresholds instead of overshooting by
 # up to 7 full-batch steps; the extra cond reductions are cheap on (1, R).
 CHUNK_LEN = 4
-_META = 8           # depth, t_best, tri_best, u, v, steps, pad, pad
+# Persistent per-lane meta rows.
+#   0..5: depth, t_best, tri_best, u, v, steps   — the opaque hit
+# Candidate-mode kernels (``candidates=True``, the alpha-tree path of
+# ops/traverse_alpha.py) extend this to 16 rows:
+#   6..11: candidate slot — nearest ALPHA-flagged triangle seen (not a
+#          t_best update: its acceptance is stochastic and resolved by the
+#          caller): t, tri, bary u, bary v, and the texture UV interpolated
+#          in-kernel from the leaf uv planes.
+# Opaque kernels keep 8 rows so the hot path pays no extra state traffic.
+_META = 8
+_META_CAND = 16
 _M_DEPTH, _M_T, _M_TRI, _M_U, _M_V, _M_STEPS = 0, 1, 2, 3, 4, 5
+_M_CT, _M_CTRI, _M_CU, _M_CV, _M_CUVU, _M_CUVV = 6, 7, 8, 9, 10, 11
 
 
 @jax.tree_util.register_pytree_node_class
@@ -172,7 +186,8 @@ def _bitonic(key, ref, sub, width):
 
 
 def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
-                      stack_depth: int, width: int = 8):
+                      stack_depth: int, width: int = 8,
+                      candidates: bool = False):
     W = width
     LT = W // 2                 # leaf triangles per row
     CB = LT.bit_length() - 1    # leaf-count bits: 4 tris -> 2, 8 tris -> 3
@@ -183,6 +198,14 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         cur = cur_ref[:]                        # (1, B) i32
         depth = meta_ref[_M_DEPTH:_M_DEPTH + 1, :].astype(jnp.int32)
         t_best = meta_ref[_M_T:_M_T + 1, :]
+        if candidates:
+            # Candidate updates only ever lower c_t, so pruning interior
+            # visits by min(t_best, c_t) is exact for the nearest-candidate
+            # query (the alpha tree never updates t_best).
+            c_t = meta_ref[_M_CT:_M_CT + 1, :]
+            t_prune = jnp.minimum(t_best, c_t)
+        else:
+            t_prune = t_best
 
         active = cur != TERM
         is_wide = active & (cur >= 0)
@@ -210,7 +233,7 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
             jnp.minimum(jnp.maximum(lx, hx), jnp.maximum(ly, hy)),
             jnp.maximum(lz, hz),
         )
-        hit_c = (bxm <= bxM) & (tn <= tf) & (tf >= 0.0) & (tn < t_best)
+        hit_c = (bxm <= bxM) & (tn <= tf) & (tf >= 0.0) & (tn < t_prune)
         key = jnp.where(hit_c, tn, _INF)
 
         subw = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
@@ -267,7 +290,7 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
         tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
         tri_lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-        geo_hit = (
+        geo_ok = (
             is_leaf
             & (tri_lane < leaf_cnt)
             & det_ok
@@ -276,37 +299,59 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
             & (vv >= 0.0)
             & (uu + vv <= 1.0)
             & (tt > 0.0)
-            & (tt < t_best)
         )
+        if candidates:
+            # Opaque hits update t_best; ALPHA-flagged hits never prune —
+            # they go to the candidate slot (nearest seen), resolved
+            # stochastically by the caller (pathtrace.rahit semantics,
+            # deferred to XLA in ops/traverse_alpha.py).
+            is_alpha = (flags & 2) != 0
+            opq_hit = geo_ok & jnp.logical_not(is_alpha) & (tt < t_best)
+            alp_hit = geo_ok & is_alpha & (tt < t_best) & (tt < c_t)
+        else:
+            opq_hit = geo_ok & (tt < t_best)
 
-        t_cand = jnp.where(geo_hit, tt, _INF)
-        o_cand = orig.astype(jnp.float32)
-        u_cand, v_cand = uu, vv
-
-        def fold(k, t, o, u, v):
+        def fold(k, cols):
             dk = (LT - k) % LT
-            t2 = pltpu.roll(t, dk, 0)
-            o2 = pltpu.roll(o, dk, 0)
-            u2 = pltpu.roll(u, dk, 0)
-            v2 = pltpu.roll(v, dk, 0)
-            take = t2 < t
-            return (
-                jnp.where(take, t2, t),
-                jnp.where(take, o2, o),
-                jnp.where(take, u2, u),
-                jnp.where(take, v2, v),
-            )
+            rolled = [pltpu.roll(c, dk, 0) for c in cols]
+            take = rolled[0] < cols[0]
+            return [jnp.where(take, r, c) for r, c in zip(rolled, cols)]
 
-        k = LT // 2
-        while k >= 1:
-            t_cand, o_cand, u_cand, v_cand = fold(k, t_cand, o_cand, u_cand, v_cand)
-            k //= 2
+        def minfold(cols):
+            k = LT // 2
+            while k >= 1:
+                cols = fold(k, cols)
+                k //= 2
+            return cols
+
+        o_f = orig.astype(jnp.float32)
+        t_cand, o_cand, u_cand, v_cand = minfold(
+            [jnp.where(opq_hit, tt, _INF), o_f, uu, vv]
+        )
         bt = t_cand[0:1, :]
         upd = bt < t_best
         new_t = jnp.where(upd, bt, t_best)
         new_tri = jnp.where(upd, o_cand[0:1, :], meta_ref[_M_TRI:_M_TRI + 1, :])
         new_u = jnp.where(upd, u_cand[0:1, :], meta_ref[_M_U:_M_U + 1, :])
         new_v = jnp.where(upd, v_cand[0:1, :], meta_ref[_M_V:_M_V + 1, :])
+
+        if candidates:
+            # Candidate slot: texture UV interpolated from the leaf uv
+            # planes rides the fold (free VPU work next to the row gather).
+            wbar = 1.0 - uu - vv
+            tu = attr(9) * wbar + attr(11) * uu + attr(13) * vv
+            tv = attr(10) * wbar + attr(12) * uu + attr(14) * vv
+            ct_c, co_c, cu_c, cv_c, ctu_c, ctv_c = minfold(
+                [jnp.where(alp_hit, tt, _INF), o_f, uu, vv, tu, tv]
+            )
+            cbt = ct_c[0:1, :]
+            cupd = cbt < c_t
+            new_ct = jnp.where(cupd, cbt, c_t)
+            new_ctri = jnp.where(cupd, co_c[0:1, :], meta_ref[_M_CTRI:_M_CTRI + 1, :])
+            new_cu = jnp.where(cupd, cu_c[0:1, :], meta_ref[_M_CU:_M_CU + 1, :])
+            new_cv = jnp.where(cupd, cv_c[0:1, :], meta_ref[_M_CV:_M_CV + 1, :])
+            new_ctu = jnp.where(cupd, ctu_c[0:1, :], meta_ref[_M_CUVU:_M_CUVU + 1, :])
+            new_ctv = jnp.where(cupd, ctv_c[0:1, :], meta_ref[_M_CUVV:_M_CUVV + 1, :])
 
         # ---- next node ---------------------------------------------------
         next_cur = jnp.where(is_wide & has_child, near_ref, TERM)
@@ -332,13 +377,56 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         nmeta_ref[_M_STEPS:_M_STEPS + 1, :] = (
             meta_ref[_M_STEPS:_M_STEPS + 1, :] + active.astype(jnp.float32)
         )
-        nmeta_ref[6:8, :] = meta_ref[6:8, :]
+        if candidates:
+            nmeta_ref[_M_CT:_M_CT + 1, :] = new_ct
+            nmeta_ref[_M_CTRI:_M_CTRI + 1, :] = new_ctri
+            nmeta_ref[_M_CU:_M_CU + 1, :] = new_cu
+            nmeta_ref[_M_CV:_M_CV + 1, :] = new_cv
+            nmeta_ref[_M_CUVU:_M_CUVU + 1, :] = new_ctu
+            nmeta_ref[_M_CUVV:_M_CUVV + 1, :] = new_ctv
+            nmeta_ref[12:16, :] = meta_ref[12:16, :]
+        else:
+            nmeta_ref[6:8, :] = meta_ref[6:8, :]
 
     return kern
 
 
 def _pad_to_block(r: int) -> int:
     return max(BLK, (r + BLK - 1) // BLK * BLK)
+
+
+def root_prefilter(
+    planar: "PlanarScene",
+    origin: jax.Array,      # (R, 3)
+    direction: jax.Array,   # (R, 3)
+    t_max: jax.Array,       # (R,)
+) -> jax.Array:
+    """Slab test against the union of the root row's child AABBs: which
+    lanes can possibly hit the tree within (0, t_max). Same test the fused
+    traversal applies internally; exposed so callers can pre-compact sparse
+    workloads (ops/traverse_alpha.py candidate rounds)."""
+    rows = jnp.asarray(planar.rows)
+    W = planar.width
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.where(direction < 0, -1e-20, 1e-20),
+        direction,
+    )
+    rb = rows[0]
+    valid = rb[0:W] <= rb[3 * W:4 * W]
+    big = jnp.float32(_ROOT_INF)
+    rmin = jnp.stack([
+        jnp.min(jnp.where(valid, rb[k * W:(k + 1) * W], big)) for k in range(3)
+    ])
+    rmax = jnp.stack([
+        jnp.max(jnp.where(valid, rb[(3 + k) * W:(4 + k) * W], -big))
+        for k in range(3)
+    ])
+    lo = (rmin[None, :] - origin) * inv_d
+    hi = (rmax[None, :] - origin) * inv_d
+    tn0 = jnp.max(jnp.minimum(lo, hi), axis=1)
+    tf0 = jnp.min(jnp.maximum(lo, hi), axis=1)
+    return (tn0 <= tf0) & (tf0 >= 0.0) & (tn0 < t_max)
 
 
 def _interpret_mode() -> bool:
@@ -350,7 +438,7 @@ def _interpret_mode() -> bool:
         return True
 
 
-def _step(rows, kern, stack_depth, width, o4, d4, i4, cur, meta, stack):
+def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4, cur, meta, stack):
     r = cur.shape[1]
     n_rows = rows.shape[0]
     lanes = width * 8
@@ -368,12 +456,12 @@ def _step(rows, kern, stack_depth, width, o4, d4, i4, cur, meta, stack):
         grid=(r // BLK,),
         in_specs=[
             pl.BlockSpec((BLK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(_META), cmaj(stack_depth),
+            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(n_meta), cmaj(stack_depth),
         ],
-        out_specs=[cmaj(1), cmaj(_META), cmaj(stack_depth)],
+        out_specs=[cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
         out_shape=[
             jax.ShapeDtypeStruct((1, r), jnp.int32),
-            jax.ShapeDtypeStruct((_META, r), jnp.float32),
+            jax.ShapeDtypeStruct((n_meta, r), jnp.float32),
             jax.ShapeDtypeStruct((stack_depth, r), jnp.int32),
         ],
         interpret=_interpret_mode(),
@@ -389,6 +477,8 @@ def _traverse_fused(
     any_hit_mode: bool,
     active_in: Optional[jax.Array],
     root0: Optional[jax.Array] = None,   # per-lane BLAS roots (ops/tlas.py)
+    return_uvt: bool = False,  # candidate mode: nearest alpha-flagged hit
+                               # + its texture UV (ops/traverse_alpha.py)
 ) -> Hit:
     rows = jnp.asarray(planar.rows)   # no-op under jit; lifts host tables
     stack_depth = planar.stack_depth
@@ -451,13 +541,19 @@ def _traverse_fused(
         lane = jnp.arange(r)
         cur0 = jnp.where(lane < r_in, cur0, TERM)
 
-    meta0 = jnp.zeros((_META, r), jnp.float32)
+    n_meta = _META_CAND if return_uvt else _META
+    meta0 = jnp.zeros((n_meta, r), jnp.float32)
     meta0 = meta0.at[_M_T].set(t_max_p)
     meta0 = meta0.at[_M_TRI].set(-1.0)
+    if return_uvt:
+        meta0 = meta0.at[_M_CT].set(t_max_p)
+        meta0 = meta0.at[_M_CTRI].set(-1.0)
     stack0 = jnp.zeros((stack_depth, r), jnp.int32)
 
-    kern = _make_step_kernel(cull_backface, any_hit_mode, stack_depth, W)
-    step = functools.partial(_step, rows, kern, stack_depth, W)
+    kern = _make_step_kernel(
+        cull_backface, any_hit_mode, stack_depth, W, candidates=return_uvt
+    )
+    step = functools.partial(_step, rows, kern, stack_depth, W, n_meta)
 
     chunk_len = 4 if rows.shape[0] < 1024 else CHUNK_LEN
 
@@ -491,7 +587,7 @@ def _traverse_fused(
         ).T[safe]                                   # (size, 1+M+9) i32
         sub_cur = jnp.where(valid, packed[:, 0], TERM)[None, :]
         fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-        m = _META
+        m = meta.shape[0]
         sub_meta = fb(packed[:, 1:1 + m].T)
         pad1 = jnp.zeros((1, packed.shape[0]), jnp.float32)
         o4c = jnp.concatenate([fb(packed[:, 1 + m:4 + m].T), pad1], axis=0)
@@ -524,6 +620,22 @@ def _traverse_fused(
         state = run_phase(state, o4, d4, i4, 0)
 
     _, meta, _ = state
+    steps = meta[_M_STEPS, :r_in].astype(jnp.int32)
+    if return_uvt:
+        # Candidate mode: the result is the CANDIDATE slot (nearest
+        # alpha-flagged triangle in the window) plus its in-kernel
+        # interpolated texture UV; the opaque slot is unused (an alpha tree
+        # carries no opaque triangles).
+        c_t = meta[_M_CT, :r_in]
+        c_tri = meta[_M_CTRI, :r_in].astype(jnp.int32)
+        hit = Hit(
+            t=jnp.where(c_tri >= 0, c_t, INF),
+            tri=c_tri,
+            u=meta[_M_CU, :r_in],
+            v=meta[_M_CV, :r_in],
+            steps=steps,
+        )
+        return hit, meta[_M_CUVU, :r_in], meta[_M_CUVV, :r_in]
     t_best = meta[_M_T, :r_in]
     tri = meta[_M_TRI, :r_in].astype(jnp.int32)
     return Hit(
@@ -531,7 +643,7 @@ def _traverse_fused(
         tri=tri,
         u=meta[_M_U, :r_in],
         v=meta[_M_V, :r_in],
-        steps=meta[_M_STEPS, :r_in].astype(jnp.int32),
+        steps=steps,
     )
 
 

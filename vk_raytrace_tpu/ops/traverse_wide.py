@@ -547,10 +547,18 @@ def closest_hit_bundle(
         )
     if bundle.alpha is None:
         return hit_o, seed
-    hit_a, seed = _traverse_wide(
-        bundle.alpha, tri_material, origin, direction, hit_o.t, seed, alpha_ctx,
-        cull_backface=True, any_hit_mode=False, active_in=active,
-    )
+    if getattr(bundle, "alpha_planar", None) is not None and tf.enabled():
+        from . import traverse_alpha as ta
+
+        hit_a, seed = ta.closest_hit_alpha(
+            bundle.alpha_planar, alpha_ctx, tri_material,
+            origin, direction, hit_o.t, seed=seed, active=active,
+        )
+    else:
+        hit_a, seed = _traverse_wide(
+            bundle.alpha, tri_material, origin, direction, hit_o.t, seed,
+            alpha_ctx, cull_backface=True, any_hit_mode=False, active_in=active,
+        )
     take_a = hit_a.tri >= 0  # already < opaque t via t_max
     return Hit(
         t=jnp.where(take_a, hit_a.t, hit_o.t),
@@ -587,10 +595,18 @@ def any_hit_bundle(
     if bundle.alpha is None:
         return occ, seed
     still = active & ~occ if active is not None else ~occ
-    occ_a, seed = any_hit_wide(
-        bundle.alpha, tri_material, origin, direction, t_max,
-        seed=seed, alpha_ctx=alpha_ctx, active=still,
-    )
+    if getattr(bundle, "alpha_planar", None) is not None and tf.enabled():
+        from . import traverse_alpha as ta
+
+        occ_a, seed = ta.any_hit_alpha(
+            bundle.alpha_planar, alpha_ctx, tri_material,
+            origin, direction, t_max, seed=seed, active=still,
+        )
+    else:
+        occ_a, seed = any_hit_wide(
+            bundle.alpha, tri_material, origin, direction, t_max,
+            seed=seed, alpha_ctx=alpha_ctx, active=still,
+        )
     return occ | occ_a, seed
 
 
