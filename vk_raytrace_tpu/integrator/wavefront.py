@@ -28,6 +28,7 @@ only the floating-point accumulation order, never the estimator.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -50,6 +51,7 @@ from .shade import get_shade_state, resolve_material
 
 class PoolState(NamedTuple):
     pix: jax.Array          # (P,) u32 absolute pixel id of the lane's unit
+    unit: jax.Array         # (P,) i32 slice-local (pixel, sample) unit id
     origin: jax.Array       # (P, 3)
     direction: jax.Array    # (P, 3)
     radiance: jax.Array     # (P, 3) current path's accumulated radiance
@@ -61,7 +63,12 @@ class PoolState(NamedTuple):
     bsdf_pdf: jax.Array     # (P,) f32 pdf of the sample that produced this
                             #     ray (0 = camera ray; BSDF-side env MIS)
     next_unit: jax.Array    # ()  i32 units allocated so far
-    out: jax.Array          # (N, 3) scatter-add accumulation (pixel-local)
+    out: jax.Array          # (U, 3) per-UNIT radiance. A unit is owned by
+                            # exactly one lane and terminates exactly once
+                            # per frame, so the per-iteration image write is
+                            # a unique-index scatter-SET (no read-modify-add,
+                            # no collision sort) — measured much cheaper than
+                            # the per-pixel scatter-add it replaces.
     steps: jax.Array        # (N,) i32 traversal steps per pixel (heatmap/stats)
     rays: jax.Array         # ()  i32 total rays traced (honest bench count)
 
@@ -124,6 +131,7 @@ def render_units_pooled(
         g3 = granted[:, None]
         return st._replace(
             pix=jnp.where(granted, upix, st.pix),
+            unit=jnp.where(granted, unit, st.unit),
             origin=jnp.where(g3, o, st.origin),
             direction=jnp.where(g3, d, st.direction),
             radiance=jnp.where(g3, 0.0, st.radiance),
@@ -289,7 +297,10 @@ def render_units_pooled(
         new_dir = jnp.where(alive[..., None], l_b, st.direction)
 
         # ---- Deferred shadow ray (:320-331) ------------------------------
-        occluded, seed = _occluded(new_origin, light_dir, light_dist, seed, visible)
+        if os.environ.get("VKRT_ABLATE") == "noshadow":
+            occluded = jnp.zeros_like(visible)
+        else:
+            occluded, seed = _occluded(new_origin, light_dir, light_dist, seed, visible)
         radiance = radiance + jnp.where(
             (visible & ~occluded)[..., None], nee, 0.0
         )
@@ -309,17 +320,26 @@ def render_units_pooled(
         depth = st.depth + st.active.astype(jnp.int32)
         alive = alive & (depth < cfg.max_depth)
 
-        # ---- Path termination: clamp + scatter into the image ------------
+        # ---- Path termination: clamp + write the unit's radiance ---------
         died = st.active & ~alive
         lum = firefly_luminance(radiance)
         scale = jnp.where(lum > clamp, clamp / jnp.maximum(lum, 1e-20), 1.0)
         contrib = radiance * scale[..., None]
-        local = st.pix.astype(jnp.int32) - pix0
-        target = jnp.where(died, local, n_pix)  # n_pix = dropped
-        out = st.out.at[target].add(contrib, mode="drop")
+        # Unit ids are unique across lanes (a unit is granted to one lane and
+        # dies once), so give surviving lanes DISTINCT out-of-range targets
+        # and scatter with unique_indices — XLA skips the collision handling.
+        lane = jax.lax.iota(jnp.int32, st.unit.shape[0])
+        target = jnp.where(died, st.unit, total_units + lane)
+        if os.environ.get("VKRT_ABLATE") == "noscatter":
+            out = st.out
+        else:
+            out = st.out.at[target].set(
+                contrib, mode="drop", unique_indices=True
+            )
         # Traversal steps accumulate per pixel every bounce (stats/heatmap);
         # skipped in production (the pooled caller discards them).
         if track_steps:
+            local = st.pix.astype(jnp.int32) - pix0
             step_target = jnp.where(st.active, local, n_pix)
             steps = st.steps.at[step_target].add(hit.steps, mode="drop")
         else:
@@ -349,6 +369,7 @@ def render_units_pooled(
     z3 = jnp.zeros((p, 3), jnp.float32)
     st0 = PoolState(
         pix=jnp.zeros((p,), jnp.uint32),
+        unit=jnp.zeros((p,), jnp.int32),
         origin=z3,
         direction=z3.at[:, 2].set(1.0),
         radiance=z3,
@@ -359,12 +380,14 @@ def render_units_pooled(
         active=jnp.zeros((p,), bool),
         bsdf_pdf=jnp.zeros((p,), jnp.float32),
         next_unit=jnp.asarray(0, jnp.int32),
-        out=jnp.zeros((n_pix, 3), jnp.float32),
+        out=jnp.zeros((total_units, 3), jnp.float32),
         steps=jnp.zeros((n_pix,), jnp.int32),
         rays=jnp.asarray(0, jnp.int32),
     )
     st = jax.lax.while_loop(cond, iteration, st0)
-    return st.out / jnp.float32(spp), st.steps, st.rays
+    # Fold per-unit radiance to per-pixel means (unit = pixel*spp + sample).
+    img = st.out.reshape(n_pix, spp, 3).sum(axis=1) / jnp.float32(spp)
+    return img, st.steps, st.rays
 
 
 def _eval_bsdf(cfg: RenderConfig, state, v, n, l):
