@@ -3,7 +3,7 @@ components disabled to attribute real in-frame cost (trace event times
 overlap async copies and double-count nesting; wall-clock deltas don't).
 
 Usage: python scripts/ablate.py [names...]   (default: all)
-Names: base noscatter noalpha noshadow nonee
+Names: base noscatter noalpha xlaalpha noshadow nonee
 """
 
 from __future__ import annotations
@@ -48,11 +48,14 @@ def main():
     results = {}
     for name in names:
         os.environ.pop("VKRT_ABLATE", None)
+        os.environ.pop("VKRT_FUSED_ALPHA", None)
         packed_orig = r.packed
         if name == "noscatter":
             os.environ["VKRT_ABLATE"] = "noscatter"
         elif name == "noalpha":
             r.packed = r.packed._replace(alpha=None)
+        elif name == "xlaalpha":
+            os.environ["VKRT_FUSED_ALPHA"] = "0"
         elif name == "noshadow":
             os.environ["VKRT_ABLATE"] = "noshadow"
         elif name == "nonee":

@@ -167,6 +167,50 @@ class TestLoader:
         assert img.shape == (32, 32, 3)
         assert np.isfinite(img).all()
 
+    def test_shared_mesh_instancing(self, tmp_path):
+        """A mesh drawn by 3 nodes loads as MeshPool x InstanceTable under
+        instancing='auto' (accelstruct.cpp:132-162: TLAS over nodes is the
+        reference default) and renders the same image as the baked form."""
+        path = str(tmp_path / "tri.gltf")
+        doc = _write_triangle_gltf(path)
+        doc["nodes"][0] = {"mesh": 0}  # identity; add translated copies
+        doc["nodes"].append({"mesh": 0, "translation": [2.0, 0.0, 0.0]})
+        doc["nodes"].append({"mesh": 0, "translation": [0.0, 2.0, 0.0]})
+        doc["scenes"][0]["nodes"] += [2, 3]
+        with open(path, "w") as f:
+            json.dump(doc, f)
+
+        from vk_raytrace_tpu.models.schema import Geometry
+
+        out, mats, lights, cam, atlas = load_gltf(path, instancing="auto")
+        assert isinstance(out, tuple) and not isinstance(out, Geometry)
+        pool, inst = out
+        assert len(pool.tri_start) == 1          # ONE shared mesh
+        assert len(inst.mesh_id) == 3            # three instances
+        assert pool.geometry.indices.shape[0] == 2  # builder pads 1 tri -> 2
+
+        baked, *_ = load_gltf(path, instancing="bake")
+        assert isinstance(baked, Geometry)
+
+        cfg = RenderConfig(width=32, height=32, max_depth=2, max_samples=2,
+                           hdr_multiplier=0.0, pbr_mode=PBR_GLTF, rr=False)
+        r_inst = R.Renderer(
+            R.build_instanced_scene(pool, inst, mats, lights, cam, atlas=atlas),
+            cfg,
+        )
+        r_bake = R.Renderer(
+            R.build_scene(baked, mats, lights, cam, atlas=atlas), cfg
+        )
+        a = np.asarray(r_inst.render(frames=2))
+        b = np.asarray(r_bake.render(frames=2))
+        assert np.isfinite(a).all()
+        assert np.abs(a - b).max() < 2e-2, np.abs(a - b).max()
+        # Picking works through the two-level structure (round-2 crash).
+        y, x = np.unravel_index(int(np.argmax(a.sum(-1))), a.shape[:2])
+        p = r_inst.pick(int(x), int(y))
+        if p is not None:
+            assert "instance" in p and 0 <= p["instance"] < 3
+
     def test_normalized_and_strided_accessors(self, tmp_path):
         """uint8-normalized colors + byteStride interleaving."""
         # Interleaved: pos (12B) + color4 u8 normalized (4B) = 16B stride

@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the image over all visible devices")
     p.add_argument("--profile", action="store_true", help="print per-stage timings")
     p.add_argument("--stats", action="store_true", help="print scene statistics")
+    p.add_argument("--instancing", choices=["auto", "bake", "always"],
+                   default="auto",
+                   help="glTF node instancing: 'auto' shares meshes drawn by "
+                        "multiple nodes through a two-level TLAS/BLAS "
+                        "structure (accelstruct.cpp:132-162 analog), 'bake' "
+                        "flattens to world space, 'always' forces two-level")
     p.add_argument("--renderer", choices=["fused", "wide"], default=None,
                    help="traversal back end (createRender analog, "
                         "sample_example.cpp:322-337): 'fused' = Pallas step "
@@ -102,9 +108,21 @@ def load_scene_from_args(args):
         from .models.gltf import load_gltf
 
         t0 = time.time()
-        geom, mats, lights, cam, atlas = load_gltf(args.scene)
-        print(f"loaded {args.scene}: {geom.indices.shape[0]} tris "
-              f"({time.time() - t0:.2f}s)", file=sys.stderr)
+        geom, mats, lights, cam, atlas = load_gltf(
+            args.scene, instancing=args.instancing
+        )
+        from .models.schema import Geometry as _Geometry
+
+        if not isinstance(geom, _Geometry):
+            pool, inst = geom
+            print(
+                f"loaded {args.scene}: {pool.geometry.indices.shape[0]} tris "
+                f"in {len(pool.tri_start)} meshes x {len(inst.mesh_id)} "
+                f"instances ({time.time() - t0:.2f}s)", file=sys.stderr,
+            )
+        else:
+            print(f"loaded {args.scene}: {geom.indices.shape[0]} tris "
+                  f"({time.time() - t0:.2f}s)", file=sys.stderr)
 
     env = None
     if args.hdr:
@@ -117,8 +135,18 @@ def load_scene_from_args(args):
     elif args.scene in ("materials", "helmet"):
         env = hdr_mod.build_environment(hdr_mod.procedural_sky_hdr())
 
+    from .models.schema import Geometry as _Geometry
+
     sun_sky = default_sun_sky(in_use=args.sun_sky)
-    scene = R.build_scene(geom, mats, lights, cam, env=env, sun_sky=sun_sky, atlas=atlas)
+    if isinstance(geom, tuple) and not isinstance(geom, _Geometry):
+        pool, inst = geom
+        scene = R.build_instanced_scene(
+            pool, inst, mats, lights, cam, env=env, sun_sky=sun_sky, atlas=atlas
+        )
+    else:
+        scene = R.build_scene(
+            geom, mats, lights, cam, env=env, sun_sky=sun_sky, atlas=atlas
+        )
     return scene, env
 
 

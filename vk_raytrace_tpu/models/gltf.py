@@ -254,10 +254,19 @@ def _import_material(gm: dict, tex_index) -> dict:
     return row
 
 
-def load_gltf(path: str):
+def load_gltf(path: str, instancing: str = "bake"):
     """Load a scene. Returns ``(geometry, materials, lights, camera, atlas)``.
 
-    The caller passes these to :func:`vk_raytrace_tpu.render.build_scene`.
+    ``instancing`` selects the acceleration-structure shape (the reference
+    always builds TLAS-over-nodes, ``accelstruct.cpp:132-162``):
+
+    * ``"bake"`` (default): node transforms baked to one world-space
+      geometry — single-level accel, the round-1/2 behavior.
+    * ``"auto"``: when any mesh primitive is drawn by more than one node,
+      return ``((MeshPool, InstanceTable), materials, lights, camera,
+      atlas)`` for :func:`vk_raytrace_tpu.render.build_instanced_scene`
+      (shared meshes cost one copy); otherwise bake.
+    * ``"always"``: instanced form even without sharing.
     """
     g = GltfFile(path)
     doc = g.json
@@ -283,8 +292,8 @@ def load_gltf(path: str):
         tex_table.append(atlas_builder.add(img, smp))
     atlas = atlas_builder.build() if tex_table else None
 
-    # ---- nodes -> instanced meshes --------------------------------------
-    builder = GeometryBuilder()
+    # ---- nodes -> draw records ------------------------------------------
+    draws: list[tuple[int, dict, int, np.ndarray]] = []  # (prim_key, prim, mat, m)
     lights_rows: list[dict] = []
     camera: Optional[Camera] = None
     scn = doc.get("scenes", [{}])[doc.get("scene", 0)]
@@ -344,24 +353,10 @@ def load_gltf(path: str):
         if "mesh" in node:
             mesh = doc["meshes"][node["mesh"]]
             for prim in mesh["primitives"]:
-                pos, normals, uv, tang, color, tris = read_primitive(prim)
                 mat_id = prim.get("material", default_mat)
                 if mat_id is None:
                     mat_id = 0
-                row = mat_rows[mat_id]
-                # remap texture refs through the atlas table
-                builder.add_mesh(
-                    pos,
-                    tris,
-                    mat_id,
-                    normals=normals,
-                    uv=uv,
-                    tangents=tang,
-                    colors=color,
-                    transform=m,
-                    double_sided=bool(row.get("double_sided", 0)),
-                    alpha_mode=row.get("alpha_mode", ALPHA_OPAQUE),
-                )
+                draws.append((id(prim), prim, mat_id, m))
         if "camera" in node and camera is None:
             cam_spec = doc["cameras"][node["camera"]]
             if cam_spec.get("type") == "perspective":
@@ -407,14 +402,50 @@ def load_gltf(path: str):
             t = row.get(key, -1)
             row[key] = tex_table[t] if (0 <= t < len(tex_table)) else -1
 
-    geometry = builder.build()
     materials = make_materials(mat_rows)
     lights = make_lights(lights_rows)
 
-    if camera is None:
-        # Frame the scene bbox (CameraManip.fit analog, scene.cpp:294-298)
+    n_shared = len(draws) - len({k for k, *_ in draws})
+    singular = any(
+        abs(np.linalg.det(m[:3, :3])) < 1e-12 for *_, m in draws
+    )
+    use_inst = bool(draws) and not singular and (
+        instancing == "always" or (instancing == "auto" and n_shared > 0)
+    )
+
+    def mesh_args(prim, mat_id):
+        pos, normals, uv, tang, color, tris = read_primitive(prim)
+        row = mat_rows[mat_id]
+        return dict(
+            positions=pos, indices=tris, material=mat_id,
+            normals=normals, uv=uv, tangents=tang, colors=color,
+            double_sided=bool(row.get("double_sided", 0)),
+            alpha_mode=row.get("alpha_mode", ALPHA_OPAQUE),
+        )
+
+    if use_inst:
+        from .instances import InstancedSceneBuilder
+
+        ib = InstancedSceneBuilder()
+        mesh_ids: dict[int, int] = {}
+        for key, prim, mat_id, m in draws:
+            if key not in mesh_ids:
+                mesh_ids[key] = ib.add_mesh(**mesh_args(prim, mat_id))
+            ib.add_instance(mesh_ids[key], m)
+        pool, inst_table = ib.build()
+        geometry = (pool, inst_table)
+        lo = np.asarray(inst_table.aabb_min).min(0)
+        hi = np.asarray(inst_table.aabb_max).max(0)
+    else:
+        builder = GeometryBuilder()
+        for _, prim, mat_id, m in draws:
+            builder.add_mesh(transform=m, **mesh_args(prim, mat_id))
+        geometry = builder.build()
         pos = np.asarray(geometry.positions)
         lo, hi = pos.min(0), pos.max(0)
+
+    if camera is None:
+        # Frame the scene bbox (CameraManip.fit analog, scene.cpp:294-298)
         center = (lo + hi) / 2
         radius = float(np.linalg.norm(hi - lo)) / 2 + 1e-6
         eye = center + np.array([0.0, radius * 0.3, radius * 2.2])

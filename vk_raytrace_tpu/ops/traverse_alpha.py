@@ -29,6 +29,7 @@ path's phase-compaction overhead.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -39,6 +40,12 @@ from . import rng
 from .traverse import INF, AlphaCtx, Hit
 from .traverse_fused import _traverse_fused
 from .traverse_wide import AlphaPack, make_alpha_pack
+
+def enabled() -> bool:
+    """Candidate-rounds alpha policy: on wherever the fused kernel runs;
+    VKRT_FUSED_ALPHA=0 falls back to the XLA alpha pass (attribution)."""
+    return os.environ.get("VKRT_FUSED_ALPHA", "1") != "0"
+
 
 _MAX_ROUNDS = 24          # bound on rejected candidates along one ray
 _ADV_REL = 1e-4           # window advance past a rejected candidate:
@@ -122,6 +129,10 @@ def _rounds_core(
             planar, o2, direction, win,
             cull_backface=cull_backface, any_hit_mode=False,
             active_in=need, return_uvt=True,
+            # Alpha trees are small (tree-depth steps); the phase-boundary
+            # compact/merge gathers would dominate, and the caller already
+            # compacted the batch.
+            phase_compact=False,
         )
         cand = need & (hit.tri >= 0)
         if pack is not None:
@@ -156,13 +167,11 @@ def _alpha_rounds(
 ):
     """Compact-first candidate rounds.
 
-    The alpha set is sparse: on the atrium only ~2% of a 524k-lane batch
-    ever sees a candidate, and the full-width fused call costs ~68 ms in
-    pure phase-machinery overhead (measured round 3). So the lanes that
-    pass the alpha-tree root prefilter are packed into an r/4-wide batch
-    FIRST and the rounds loop runs there; a lax.cond falls back to the
-    full-width loop in the (unobserved) case that more than r/4 lanes
-    survive the prefilter."""
+    The alpha set is sparse and its per-child root prefilter narrow, but
+    the survivor count is data-dependent, so the rounds loop runs at the
+    smallest adequate of three static widths (r/16, r/4, r) picked by a
+    nested ``lax.cond`` — fused-call cost is ~linear in lane width, and
+    on the atrium the r/16 tier is the one that executes."""
     from .traverse_fused import root_prefilter
 
     r = origin.shape[0]
@@ -173,48 +182,50 @@ def _alpha_rounds(
         planar, origin, direction, t_limit
     )
 
-    small = max(4096, r // 4)
-    if r <= small:
-        bt, btri, bu, bv, seed, steps = _rounds_core(
-            planar, pack, origin, direction, t_limit, seed, need0,
-            cull_backface,
-        )
-        hit = Hit(
-            t=jnp.where(btri >= 0, bt, INF), tri=btri, u=bu, v=bv, steps=steps
-        )
-        return hit, seed
-
-    n_live = jnp.sum(need0.astype(jnp.int32))
-
-    def compact_branch(args):
-        origin, direction, t_limit, seed, need0 = args
-        (idx,) = jnp.nonzero(need0, size=small, fill_value=r)
-        safe = jnp.minimum(idx, r - 1)
-        valid = idx < r
-        bt_s, btri_s, bu_s, bv_s, seed_s, steps_s = _rounds_core(
-            planar, pack, origin[safe], direction[safe], t_limit[safe],
-            seed[safe], valid, cull_backface,
-        )
-        # Scatter results back to full width (fill lanes drop at index r).
-        bt = jnp.full((r,), INF, jnp.float32).at[idx].set(bt_s, mode="drop")
-        btri = jnp.full((r,), -1, jnp.int32).at[idx].set(btri_s, mode="drop")
-        bu = jnp.zeros((r,)).at[idx].set(bu_s, mode="drop")
-        bv = jnp.zeros((r,)).at[idx].set(bv_s, mode="drop")
-        seed_out = seed.at[idx].set(seed_s, mode="drop")
-        steps = jnp.zeros((r,), jnp.int32).at[idx].set(steps_s, mode="drop")
-        return bt, btri, bu, bv, seed_out, steps
-
-    def full_branch(args):
+    def direct(args):
         origin, direction, t_limit, seed, need0 = args
         return _rounds_core(
             planar, pack, origin, direction, t_limit, seed, need0,
             cull_backface,
         )
 
-    bt, btri, bu, bv, seed, steps = jax.lax.cond(
-        n_live <= small, compact_branch, full_branch,
-        (origin, direction, t_limit, seed, need0),
-    )
+    def tier(size):
+        def branch(args):
+            origin, direction, t_limit, seed, need0 = args
+            (idx,) = jnp.nonzero(need0, size=size, fill_value=r)
+            safe = jnp.minimum(idx, r - 1)
+            valid = idx < r
+            bt_s, btri_s, bu_s, bv_s, seed_s, steps_s = _rounds_core(
+                planar, pack, origin[safe], direction[safe], t_limit[safe],
+                seed[safe], valid, cull_backface,
+            )
+            # Scatter back to full width (fill lanes drop at index r).
+            bt = jnp.full((r,), INF, jnp.float32).at[idx].set(bt_s, mode="drop")
+            btri = jnp.full((r,), -1, jnp.int32).at[idx].set(btri_s, mode="drop")
+            bu = jnp.zeros((r,)).at[idx].set(bu_s, mode="drop")
+            bv = jnp.zeros((r,)).at[idx].set(bv_s, mode="drop")
+            seed_out = seed.at[idx].set(seed_s, mode="drop")
+            steps = jnp.zeros((r,), jnp.int32).at[idx].set(steps_s, mode="drop")
+            return bt, btri, bu, bv, seed_out, steps
+
+        return branch
+
+    args = (origin, direction, t_limit, seed, need0)
+    tiers = [s for s in (max(4096, r // 16), max(4096, r // 4)) if s < r]
+    tiers = sorted(set(tiers))
+    if not tiers:
+        bt, btri, bu, bv, seed, steps = direct(args)
+    else:
+        n_live = jnp.sum(need0.astype(jnp.int32))
+
+        def select(i):
+            if i == len(tiers):
+                return direct
+            return lambda a: jax.lax.cond(
+                n_live <= tiers[i], tier(tiers[i]), select(i + 1), a
+            )
+
+        bt, btri, bu, bv, seed, steps = select(0)(args)
     hit = Hit(
         t=jnp.where(btri >= 0, bt, INF), tri=btri, u=bu, v=bv, steps=steps
     )

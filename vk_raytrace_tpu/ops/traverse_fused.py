@@ -401,10 +401,12 @@ def root_prefilter(
     direction: jax.Array,   # (R, 3)
     t_max: jax.Array,       # (R,)
 ) -> jax.Array:
-    """Slab test against the union of the root row's child AABBs: which
-    lanes can possibly hit the tree within (0, t_max). Same test the fused
-    traversal applies internally; exposed so callers can pre-compact sparse
-    workloads (ops/traverse_alpha.py candidate rounds)."""
+    """PER-CHILD slab test against the root row: which lanes can possibly
+    hit the tree within (0, t_max). One level deeper than the union-AABB
+    test the traversal itself starts with — on sparse trees (the atrium
+    alpha set) the union box covers most of the scene while the children
+    hug the actual geometry, so this prefilter is what makes pre-compacted
+    candidate rounds (ops/traverse_alpha.py) narrow."""
     rows = jnp.asarray(planar.rows)
     W = planar.width
     inv_d = 1.0 / jnp.where(
@@ -413,20 +415,15 @@ def root_prefilter(
         direction,
     )
     rb = rows[0]
-    valid = rb[0:W] <= rb[3 * W:4 * W]
-    big = jnp.float32(_ROOT_INF)
-    rmin = jnp.stack([
-        jnp.min(jnp.where(valid, rb[k * W:(k + 1) * W], big)) for k in range(3)
-    ])
-    rmax = jnp.stack([
-        jnp.max(jnp.where(valid, rb[(3 + k) * W:(4 + k) * W], -big))
-        for k in range(3)
-    ])
-    lo = (rmin[None, :] - origin) * inv_d
-    hi = (rmax[None, :] - origin) * inv_d
-    tn0 = jnp.max(jnp.minimum(lo, hi), axis=1)
-    tf0 = jnp.min(jnp.maximum(lo, hi), axis=1)
-    return (tn0 <= tf0) & (tf0 >= 0.0) & (tn0 < t_max)
+    valid = rb[0:W] <= rb[3 * W:4 * W]                     # (W,)
+    bmin = jnp.stack([rb[0:W], rb[W:2 * W], rb[2 * W:3 * W]], axis=-1)
+    bmax = jnp.stack([rb[3 * W:4 * W], rb[4 * W:5 * W], rb[5 * W:6 * W]], -1)
+    lo = (bmin[None] - origin[:, None, :]) * inv_d[:, None, :]   # (R, W, 3)
+    hi = (bmax[None] - origin[:, None, :]) * inv_d[:, None, :]
+    tn = jnp.max(jnp.minimum(lo, hi), axis=-1)             # (R, W)
+    tf = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    hit = valid[None] & (tn <= tf) & (tf >= 0.0) & (tn < t_max[:, None])
+    return jnp.any(hit, axis=1)
 
 
 def _interpret_mode() -> bool:
@@ -479,6 +476,9 @@ def _traverse_fused(
     root0: Optional[jax.Array] = None,   # per-lane BLAS roots (ops/tlas.py)
     return_uvt: bool = False,  # candidate mode: nearest alpha-flagged hit
                                # + its texture UV (ops/traverse_alpha.py)
+    phase_compact: bool = True,  # False: skip the phase machinery (small
+                               # trees finish in ~tree-depth steps; the
+                               # compact/merge gathers would dominate)
 ) -> Hit:
     rows = jnp.asarray(planar.rows)   # no-op under jit; lifts host tables
     stack_depth = planar.stack_depth
@@ -602,7 +602,7 @@ def _traverse_fused(
         return (cur, meta, stack)
 
     state = (cur0[None, :], meta0, stack0)
-    if r >= 1 << 15:
+    if phase_compact and r >= 1 << 15:
         oc, dc, ic = o4, d4, i4
         merges = []
         cur_state = state

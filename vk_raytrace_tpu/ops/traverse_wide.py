@@ -547,9 +547,12 @@ def closest_hit_bundle(
         )
     if bundle.alpha is None:
         return hit_o, seed
-    if getattr(bundle, "alpha_planar", None) is not None and tf.enabled():
-        from . import traverse_alpha as ta
+    from . import traverse_alpha as ta
 
+    if (
+        getattr(bundle, "alpha_planar", None) is not None
+        and tf.enabled() and ta.enabled()
+    ):
         hit_a, seed = ta.closest_hit_alpha(
             bundle.alpha_planar, alpha_ctx, tri_material,
             origin, direction, hit_o.t, seed=seed, active=active,
@@ -595,9 +598,12 @@ def any_hit_bundle(
     if bundle.alpha is None:
         return occ, seed
     still = active & ~occ if active is not None else ~occ
-    if getattr(bundle, "alpha_planar", None) is not None and tf.enabled():
-        from . import traverse_alpha as ta
+    from . import traverse_alpha as ta
 
+    if (
+        getattr(bundle, "alpha_planar", None) is not None
+        and tf.enabled() and ta.enabled()
+    ):
         occ_a, seed = ta.any_hit_alpha(
             bundle.alpha_planar, alpha_ctx, tri_material,
             origin, direction, t_max, seed=seed, active=still,

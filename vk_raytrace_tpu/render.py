@@ -354,6 +354,12 @@ class Renderer:
             self.packed = scene.instances  # prebuilt two-level structure
         else:
             self.packed = pack_scene(scene.bvh, scene.geometry)
+        if self.scene.instances is not None:
+            # The accel rides ONLY as ``packed``: passing the same subtree
+            # twice to a jitted call (scene.instances AND packed) trips
+            # XLA's pruned-parameter bookkeeping ("Execution supplied N
+            # buffers but compiled program expected M").
+            self.scene = self.scene._replace(instances=None)
         self.build_times["accel_s"] = _time.time() - t0
         self.has_alpha = scene_has_alpha(scene)
         from .integrator.shade import mat_features
@@ -458,6 +464,7 @@ class Renderer:
         triangle / material / distance / position (RayPickerKHR analog)."""
         from .integrator.camera import generate_rays_for_pixels
         from .ops import rng as rngmod
+        from .ops.tlas import InstancedAccel, closest_hit_instanced
         from .ops.traverse_wide import closest_hit_bundle
 
         pix = jnp.asarray([y * self.cfg.width + x], jnp.uint32)
@@ -466,21 +473,29 @@ class Renderer:
             self.scene.camera, self.cfg.width, self.cfg.height, pix,
             jnp.asarray(0, jnp.int32), seed,
         )
-        hit, _ = closest_hit_bundle(
-            self.packed, self.scene.geometry.tri_material, o, d
-        )
+        if isinstance(self.packed, InstancedAccel):
+            hit, _ = closest_hit_instanced(
+                self.packed, self.scene.geometry.tri_material, o, d
+            )
+        else:
+            hit, _ = closest_hit_bundle(
+                self.packed, self.scene.geometry.tri_material, o, d
+            )
         tri = int(hit.tri[0])
         if tri < 0:
             return None
         t = float(hit.t[0])
         p = np.asarray(o[0] + d[0] * t)
-        return {
+        out = {
             "triangle": tri,
             "material": int(self.scene.geometry.tri_material[tri]),
             "t": t,
             "position": p,
             "barycentrics": (float(hit.u[0]), float(hit.v[0])),
         }
+        if hit.inst is not None:
+            out["instance"] = int(hit.inst[0])
+        return out
 
     # -- checkpoint/resume (SURVEY.md §5) ----------------------------------
     def save_state(self):
