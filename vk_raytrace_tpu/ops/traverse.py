@@ -39,8 +39,12 @@ from ..models.schema import ALPHA_MASK, BVH, Geometry, Materials, TextureAtlas
 from . import rng
 from .texture import sample_atlas
 
-INF = jnp.float32(1e32)
-_EPS_DET = jnp.float32(1e-12)
+# Plain Python float, NOT jnp.float32: a jnp scalar here would commit to
+# the default device AT IMPORT TIME, forcing TPU-backend init (a ~2-minute
+# tunnel handshake on remote TPUs) into every host-side scene build that
+# merely imports this module. jnp ops weak-type it back to f32 on use.
+INF = 1e32
+_EPS_DET = 1e-12  # python float: no device commit at import
 # Traversal steps executed per while-loop condition check (see _traverse).
 _CHUNK_STEPS = 64
 

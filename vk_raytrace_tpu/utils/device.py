@@ -9,6 +9,7 @@ thread concurrently with the build instead of serializing after it.
 
 from __future__ import annotations
 
+import atexit
 import threading
 import time
 
@@ -42,4 +43,8 @@ def warm_transfers_async() -> threading.Thread:
         target=_warm, daemon=True, name="vkrt-transfer-warm"
     )
     _warm_thread.start()
+    # Interpreter teardown while the PJRT readback is in flight aborts the
+    # process (uncatchable C++ terminate) — join before exit. Callers all
+    # do device work anyway, so in practice this join is instant.
+    atexit.register(lambda: _warm_thread.join() if _warm_thread else None)
     return _warm_thread
