@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--scene", default="cornell",
                    help="glTF/GLB file, or builtin: cornell | city | materials "
                         "| atrium (Sponza-class ~220k tris) | helmet "
+                        "| bistro (Bistro-class >1M instanced tris) "
                         "(DamagedHelmet-class textured PBR)")
     p.add_argument("-e", "--hdr", default=None, help="HDR environment (.hdr)")
     p.add_argument("-o", "--output", default="out.png", help="output PNG")
@@ -104,6 +105,16 @@ def load_scene_from_args(args):
         geom, mats, lights, cam, atlas = procedural.atrium_scene()
     elif args.scene == "helmet":
         geom, mats, lights, cam, atlas = procedural.helmet_scene()
+    elif args.scene == "bistro":
+        # >1M instantiated tris through the two-level TLAS/BLAS path
+        # (--instancing bake bakes them: the 1M-tri single-level stress).
+        if args.instancing != "bake":
+            pool, inst, mats, lights, cam, atlas = procedural.bistro_scene()
+            geom = (pool, inst)
+        else:
+            geom, mats, lights, cam, atlas = procedural.bistro_scene(
+                instanced=False
+            )
     else:
         from .models.gltf import load_gltf
 
@@ -155,22 +166,9 @@ def main(argv=None) -> int:
 
     import os as _os
 
-    try:
-        import platform as _platform
+    from .utils.cache import enable_compile_cache
 
-        import jax as _jax
-
-        # Keyed by backend AND host: the axon remote-compile helper writes
-        # remote-machine CPU-AOT artifacts; loading them locally SIGILLs.
-        _base = _os.environ.get(
-            "VKRT_COMPILE_CACHE", _os.path.expanduser("~/.cache/vkrt_xla")
-        )
-        _cache = f"{_base}_{_jax.default_backend()}_{_platform.node()}"
-        _os.makedirs(_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
     if getattr(args, "renderer", None):
         # Renderer switch analog: route every opaque traversal through the

@@ -163,8 +163,14 @@ def collapse_bvh8(
     assert leaf_count.max(initial=1) <= leaf_max
 
     n_rows = n_wide + n_leaf
-    assert n_rows * 4 + 4 < 2**23, "scene too large for exact-f32 ref encoding"
-    assert t * 4 < 2**23, "too many triangles for exact-f32 id encoding"
+    from ..runtime import SceneScaleError, _check_ref_ceiling
+
+    _check_ref_ceiling(n_rows, 4)
+    if t * 4 >= 2**23:
+        raise SceneScaleError(
+            f"{t} triangles exceed the LBVH-collapse id ceiling; instance "
+            "repeated geometry (models/instances.py) or split the scene"
+        )
 
     # --- packed sorted triangle entries (16 lanes each) -------------------
     idx = np.asarray(geom.indices).astype(np.int64)[order]     # sorted tris

@@ -114,7 +114,7 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
         roots.append(base)
         base += len(rows)
         tables.append(rows)
-    assert base * 4 + 4 < 2**23, "combined BLAS too large for exact-f32 refs"
+    runtime._check_ref_ceiling(base, 4)  # combined table shares one ref space
     all_rows = np.concatenate(tables, axis=0)
     from .traverse_fused import planarize
 

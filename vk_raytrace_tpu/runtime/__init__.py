@@ -28,6 +28,39 @@ _LIB = os.path.join(_DIR, "_native.so")
 _lib = None
 
 
+class SceneScaleError(ValueError):
+    """Raised when a scene exceeds the exact-f32 encoding ceilings of the
+    wide-BVH row format (documented in docs/ARCHITECTURE.md):
+
+    * triangle ids ride in f32 leaf lanes as ``orig*4 + flags`` — exact
+      only below ``2**22`` (~4.19M) triangles per id space;
+    * child refs ride in f32 interior lanes as ``row*leaf_tris + count`` —
+      exact only below ``2**23`` encoded values (~2M rows at 4-tri leaves).
+
+    Scenes past the id ceiling must be split across instanced BLAS id
+    spaces (models/instances.py — each mesh's ids are pool-global but the
+    POOL, not the instantiated total, is what counts) or chunked.
+    """
+
+
+def _check_id_ceiling(max_orig: int) -> None:
+    if max_orig * 4 + 3 >= 2**24:
+        raise SceneScaleError(
+            f"triangle id {max_orig} exceeds the exact-f32 ceiling of "
+            f"{2**22 - 1} unique triangles; instance repeated geometry "
+            "(models/instances.py) or split the scene"
+        )
+
+
+def _check_ref_ceiling(n_rows: int, leaf_tris: int) -> None:
+    if n_rows * leaf_tris + leaf_tris >= 2**23:
+        raise SceneScaleError(
+            f"{n_rows} BVH rows exceed the exact-f32 ref ceiling of "
+            f"{2**23 // leaf_tris - 1}; instance repeated geometry "
+            "(models/instances.py) or split the scene"
+        )
+
+
 def _build() -> bool:
     try:
         cmd = [
@@ -213,7 +246,7 @@ def build_bvh8_rows(
         tri_ids = np.ascontiguousarray(tri_ids, np.int32)
         ids_arg = _ptr(tri_ids)
         max_orig = int(tri_ids.max(initial=0))
-    assert max_orig * 4 + 3 < 2**24, "too many triangles for exact-f32 ids"
+    _check_id_ceiling(max_orig)
     for max_rows in (t + t // 3 + 16, 2 * t + 8):
         rows = np.empty((max_rows, 64), np.float32)
         n = lib.build_bvh8(
@@ -222,7 +255,7 @@ def build_bvh8_rows(
             ctypes.c_int64(max_rows),
         )
         if n > 0:
-            assert n * 4 + 4 < 2**23, "scene too large for exact-f32 refs"
+            _check_ref_ceiling(n, 4)
             return np.ascontiguousarray(rows[:n])
     return None
 
@@ -256,7 +289,7 @@ def build_bvh16_rows(
         tri_ids = np.ascontiguousarray(tri_ids, np.int32)
         ids_arg = _ptr(tri_ids)
         max_orig = int(tri_ids.max(initial=0))
-    assert max_orig * 4 + 3 < 2**24, "too many triangles for exact-f32 ids"
+    _check_id_ceiling(max_orig)
     depth = ctypes.c_int32(0)
     for max_rows in (t // 4 + t // 8 + 16, t + 8):
         rows = np.empty((max_rows, 128), np.float32)
@@ -266,7 +299,7 @@ def build_bvh16_rows(
             ctypes.c_int64(max_rows), ctypes.byref(depth),
         )
         if n > 0:
-            assert n * 8 + 8 < 2**23, "scene too large for exact-f32 refs"
+            _check_ref_ceiling(n, 8)
             return np.ascontiguousarray(rows[:n]), int(depth.value)
     return None
 
