@@ -455,8 +455,13 @@ class Renderer:
         return self.accum
 
     def postprocess(self) -> jax.Array:
-        """Tonemap + post chain (drawPost, sample_example.cpp:362-384)."""
-        return apply_post(self.accum, self.tonemapper)
+        """Tonemap + post chain (drawPost, sample_example.cpp:362-384).
+        ``self.tone_mode`` selects the curve (Uncharted2/Hejl/ACES —
+        post.frag:30, live-switchable in the viewer like sample_gui's
+        tonemapper combo)."""
+        return apply_post(
+            self.accum, self.tonemapper, mode=getattr(self, "tone_mode", 0)
+        )
 
     # -- picking (screenPicking analog, sample_example.cpp:469-511) --------
     def pick(self, x: int, y: int):

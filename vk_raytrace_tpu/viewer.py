@@ -41,19 +41,35 @@ import numpy as np
 # ----------------------------------------------------------------------------
 
 class OrbitCamera:
-    """Eye/pivot orbit state; produces the Camera NamedTuple on demand."""
+    """Eye/pivot orbit state; produces the Camera NamedTuple on demand.
 
-    def __init__(self, camera, width: int, height: int):
+    The pivot is scene-derived like CameraManip's interest point: the
+    scene-bounds center projected onto the view ray (not a fixed distance),
+    and :meth:`set_pivot` re-targets it from a pick result
+    (sample_example.cpp:493-510 sets the camera interest the same way)."""
+
+    def __init__(self, camera, width: int, height: int, bounds=None):
         vi = np.asarray(camera.view_inverse)
         self.eye = vi[:3, 3].copy()
         fwd = -vi[:3, 2]
-        self.dist = 3.0
+        if bounds is not None:
+            bmin, bmax = bounds
+            c = (np.asarray(bmin) + np.asarray(bmax)) * 0.5
+            # project the scene center onto the view ray; keep it in front
+            self.dist = float(max(np.dot(c - self.eye, fwd), 1.0))
+        else:
+            self.dist = 3.0
         self.center = self.eye + fwd * self.dist
         self.up = np.array([0.0, 1.0, 0.0])
-        self.fov = 45.0
+        pi = np.asarray(camera.proj_inverse)
+        fy = abs(float(pi[1, 1]))  # proj[1,1] = -1/tan(fov/2) inverted
+        self.fov = float(np.degrees(2.0 * np.arctan(fy))) if fy > 0 else 60.0
         self.width, self.height = width, height
         self.focal = float(camera.focal_dist)
         self.aperture = float(camera.aperture)
+
+    def set_pivot(self, p) -> None:
+        self.center = np.asarray(p, np.float64).copy()
 
     def orbit(self, dx: float, dy: float) -> None:
         off = self.eye - self.center
@@ -112,32 +128,129 @@ def _png_bytes(img01: np.ndarray) -> bytes:
     )
 
 
+def _scene_stats(r) -> str:
+    """guiStatistics (sample_gui.cpp:330-363): scene inventory."""
+    from .ops.tlas import InstancedAccel
+
+    g = r.scene.geometry
+    lines = [
+        f"triangles {int(g.indices.shape[0]):>10,}",
+        f"materials {int(np.asarray(r.scene.materials.ior).shape[0]):>10,}",
+        f"textures  {int(np.asarray(r.scene.atlas.x).shape[0]):>10,}",
+        f"lights    {int(r.scene.n_lights):>10,}",
+    ]
+    p = r.packed
+    if isinstance(p, InstancedAccel):
+        lines += [
+            f"instances {int(np.asarray(p.inst.mesh_id).shape[0]):>10,}",
+            f"meshes    {int(np.asarray(p.mesh_root).shape[0]):>10,}",
+            f"BVH rows  {int(np.asarray(p.blas.rows).shape[0]):>10,}",
+        ]
+    else:
+        rows = int(np.asarray(p.opaque.rows).shape[0]) if p.opaque else 0
+        if getattr(p, "alpha", None) is not None:
+            rows += int(np.asarray(p.alpha.rows).shape[0])
+        lines.append(f"BVH rows  {rows:>10,}")
+    return "\n".join(lines)
+
+
+def _prof_stats(r, t_frame: float, cfg) -> str:
+    """guiProfiler (sample_gui.cpp:368-423): per-frame timings + device
+    memory in lieu of NVML plots."""
+    rays = getattr(r, "last_rays", 0)
+    lines = [
+        f"frame     {r.frame:>10,}",
+        f"spp       {r.frame * cfg.max_samples:>10,}",
+        f"ms/frame  {1000 * t_frame:>10.1f}",
+        f"Mrays/s   {rays / max(t_frame, 1e-9) / 1e6:>10.2f}",
+    ]
+    for k, v in getattr(r, "build_times", {}).items():
+        lines.append(f"{k:<9s} {v:>9.1f}s")
+    try:
+        from .utils.profiler import device_memory_stats
+
+        mem = device_memory_stats()
+        if mem and mem[0].get("bytes_in_use", -1) >= 0:
+            lines.append(
+                f"dev mem   {mem[0]['bytes_in_use'] / 2**20:>8.0f}MB"
+            )
+    except Exception:
+        pass
+    return "\n".join(lines)
+
+
 # ----------------------------------------------------------------------------
 # Viewer service
 # ----------------------------------------------------------------------------
 
+# The control inventory mirrors sample_gui.cpp: camera+aperture (:109-117),
+# ray-tracing params incl. all 13 debug modes + pipeline select (:122-193),
+# the full tonemapper (:196-242), the sun&sky editor (:247-325), scene
+# statistics (:330-363) and the profiler readout (:368-423).
 _PAGE = """<!doctype html><html><head><title>vk_raytrace_tpu</title><style>
-body{margin:0;background:#111;color:#ccc;font:13px monospace;display:flex}
-#img{image-rendering:pixelated;cursor:grab}
-#panel{padding:10px;min-width:230px}
-label{display:block;margin-top:8px}
-input[type=range]{width:200px}
-#stats{margin-top:12px;white-space:pre;color:#8c8}
-#pick{margin-top:12px;white-space:pre;color:#88c}
+body{margin:0;background:#111;color:#ccc;font:12px monospace;display:flex}
+#img{image-rendering:pixelated;cursor:grab;align-self:flex-start}
+#panel{padding:10px;min-width:250px;max-height:100vh;overflow-y:auto}
+label{display:block;margin-top:4px}
+input[type=range]{width:130px;vertical-align:middle}
+select{background:#222;color:#ccc}
+details{margin-top:8px;border-top:1px solid #333;padding-top:4px}
+summary{color:#ca8;cursor:pointer}
+.v{color:#8ac;display:inline-block;width:44px;text-align:right}
+#stats,#prof{margin-top:8px;white-space:pre;color:#8c8}
+#pick{margin-top:8px;white-space:pre;color:#88c}
 </style></head><body>
 <img id="img" width="__W__" height="__H__">
 <div id="panel">
  <b>vk_raytrace_tpu viewer</b>
- <label>exposure <input type="range" id="exposure" min="-4" max="4" step="0.1" value="0"></label>
- <label>max depth <input type="range" id="depth" min="1" max="10" step="1" value="__D__"></label>
- <label>debug mode <select id="debug"><option value="0">none</option>
-  <option value="1">metallic</option><option value="2">normal</option>
-  <option value="3">albedo</option><option value="4">emissive</option>
-  <option value="5">roughness</option><option value="6">texcoord</option>
-  <option value="7">tangent</option><option value="10">heatmap</option></select></label>
- <label><input type="checkbox" id="pause"> pause</label>
- <div id="stats"></div>
- <div id="pick">click image to pick</div>
+ <details open><summary>camera</summary>
+  <label>fov <span class="v" id="v_fov">60</span><input type="range" id="fov" min="10" max="120" step="1" value="60"></label>
+  <label>aperture <span class="v" id="v_aperture">0</span><input type="range" id="aperture" min="0" max="0.5" step="0.005" value="0"></label>
+  <label>focal dist <span class="v" id="v_focal">0</span><input type="range" id="focal" min="0" max="60" step="0.2" value="0"></label>
+ </details>
+ <details open><summary>ray tracing</summary>
+  <label>max depth <span class="v" id="v_depth">__D__</span><input type="range" id="depth" min="1" max="10" step="1" value="__D__"></label>
+  <label>samples/frame <span class="v" id="v_spp">1</span><input type="range" id="spp" min="1" max="8" step="1" value="1"></label>
+  <label>pbr model <select id="pbr"><option value="1">glTF</option><option value="0">Disney</option></select></label>
+  <label>renderer <select id="renderer"><option value="fused">fused (Pallas)</option><option value="wide">wide (XLA)</option></select></label>
+  <label>debug mode <select id="debug">
+   <option value="0">none</option><option value="1">base color</option>
+   <option value="2">normal</option><option value="3">metallic</option>
+   <option value="4">emissive</option><option value="5">alpha</option>
+   <option value="6">roughness</option><option value="7">texcoord</option>
+   <option value="8">tangent</option><option value="9">radiance</option>
+   <option value="10">weight</option><option value="11">ray dir</option>
+   <option value="12">heatmap</option></select></label>
+  <label><input type="checkbox" id="pause"> pause</label>
+ </details>
+ <details><summary>tonemapper</summary>
+  <label>curve <select id="tonemode"><option value="0">Uncharted2</option>
+   <option value="1">Hejl-Richard</option><option value="2">ACES</option></select></label>
+  <label>exposure <span class="v" id="v_exposure">0</span><input type="range" id="exposure" min="-4" max="4" step="0.1" value="0"></label>
+  <label>brightness <span class="v" id="v_brightness">1</span><input type="range" id="brightness" min="0.1" max="3" step="0.05" value="1"></label>
+  <label>contrast <span class="v" id="v_contrast">1</span><input type="range" id="contrast" min="0.1" max="3" step="0.05" value="1"></label>
+  <label>saturation <span class="v" id="v_saturation">1</span><input type="range" id="saturation" min="0" max="2" step="0.05" value="1"></label>
+  <label>vignette <span class="v" id="v_vignette">0</span><input type="range" id="vignette" min="0" max="2" step="0.05" value="0"></label>
+  <label>auto exposure <select id="autoexp"><option value="0">off</option>
+   <option value="1">global</option><option value="3">local</option></select></label>
+  <label><input type="checkbox" id="dither"> dither</label>
+ </details>
+ <details><summary>sun &amp; sky</summary>
+  <label><input type="checkbox" id="sunsky" __SS__> enabled</label>
+  <label>azimuth <span class="v" id="v_azimuth">80</span><input type="range" id="azimuth" min="-180" max="180" step="2" value="80"></label>
+  <label>elevation <span class="v" id="v_elevation">15</span><input type="range" id="elevation" min="1" max="89" step="1" value="15"></label>
+  <label>haze <span class="v" id="v_haze">0</span><input type="range" id="haze" min="0" max="15" step="0.25" value="0"></label>
+  <label>red-blue shift <span class="v" id="v_rbshift">0</span><input type="range" id="rbshift" min="-1" max="1" step="0.05" value="0"></label>
+  <label>sky saturation <span class="v" id="v_skysat">1</span><input type="range" id="skysat" min="0" max="1" step="0.05" value="1"></label>
+  <label>horizon height <span class="v" id="v_horizon">0</span><input type="range" id="horizon" min="-1" max="1" step="0.02" value="0"></label>
+  <label>horizon blur <span class="v" id="v_horizonblur">0.1</span><input type="range" id="horizonblur" min="0" max="1" step="0.02" value="0.1"></label>
+  <label>sun disk intensity <span class="v" id="v_sundisk">1</span><input type="range" id="sundisk" min="0" max="5" step="0.1" value="1"></label>
+  <label>sun disk scale <span class="v" id="v_sunscale">1</span><input type="range" id="sunscale" min="0.1" max="10" step="0.1" value="1"></label>
+  <label>sun glow <span class="v" id="v_sunglow">1</span><input type="range" id="sunglow" min="0" max="5" step="0.1" value="1"></label>
+ </details>
+ <details open><summary>statistics</summary><div id="stats"></div></details>
+ <details open><summary>profiler</summary><div id="prof"></div></details>
+ <div id="pick">click image to pick (sets orbit pivot)</div>
 </div>
 <script>
 const img = document.getElementById('img');
@@ -160,14 +273,25 @@ window.onmousemove = e => {
   drag = [e.clientX, e.clientY, drag[2]];
 };
 img.onwheel = e => {post({cmd:'dolly',amount:Math.sign(e.deltaY)}); e.preventDefault();};
-for (const id of ['exposure','depth','debug'])
-  document.getElementById(id).oninput = e => post({cmd:'set',key:id,value:+e.target.value});
-document.getElementById('pause').onchange = e => post({cmd:'set',key:'pause',value:e.target.checked?1:0});
+const sliders = ['fov','aperture','focal','depth','spp','exposure','brightness',
+ 'contrast','saturation','vignette','azimuth','elevation','haze','rbshift',
+ 'skysat','horizon','horizonblur','sundisk','sunscale','sunglow'];
+for (const id of sliders)
+  document.getElementById(id).oninput = e => {
+    const el = document.getElementById('v_'+id);
+    if (el) el.textContent = e.target.value;
+    post({cmd:'set',key:id,value:+e.target.value});
+  };
+for (const id of ['debug','pbr','tonemode','autoexp'])
+  document.getElementById(id).onchange = e => post({cmd:'set',key:id,value:+e.target.value});
+document.getElementById('renderer').onchange = e => post({cmd:'set',key:'renderer',value:e.target.value});
+for (const id of ['pause','dither','sunsky'])
+  document.getElementById(id).onchange = e => post({cmd:'set',key:id,value:e.target.checked?1:0});
 async function tick(){
   img.src = '/frame.png?t=' + Date.now();
   const s = await (await fetch('/state')).json();
-  document.getElementById('stats').textContent =
-    'frame    ' + s.frame + '\\nspp      ' + s.spp + '\\nms/frame ' + s.ms_per_frame;
+  document.getElementById('stats').textContent = s.stats || '';
+  document.getElementById('prof').textContent = s.prof || '';
 }
 setInterval(tick, 700); tick();
 </script></body></html>"""
@@ -194,16 +318,51 @@ class ViewerService:
 
         args = self.args
         scene, env = C.load_scene_from_args(args)
+        self._scene0 = scene  # pristine (un-baked sun&sky, instances intact)
         w, h = args.size
         cfg = RenderConfig(
             width=w, height=h, max_depth=args.depth, max_samples=1,
             firefly_clamp=10.0,
             hdr_multiplier=1.0 if env is not None else 0.0,
+            use_sun_sky=bool(args.sun_sky),
         )
         r = R.Renderer(scene, cfg)
-        cam = OrbitCamera(scene.camera, w, h)
+        pos = np.asarray(scene.geometry.positions)
+        bounds = (pos.min(axis=0), pos.max(axis=0)) if len(pos) else None
+        cam = OrbitCamera(scene.camera, w, h, bounds=bounds)
+        self._cam = cam
         pause = False
         t_frame = 0.0
+        sunsky = scene.sun_sky
+
+        def rebuild(new_cfg, new_sunsky=None):
+            """Path-parameter edit: retrace but KEEP the acceleration
+            structures (createRender semantics, sample_example.cpp:322-337).
+            A sun&sky edit re-bakes the env map (cached by param hash)."""
+            nonlocal cfg, r, sunsky
+            cfg = new_cfg
+            if new_sunsky is not None:
+                sunsky = new_sunsky
+            sc = self._scene0._replace(
+                sun_sky=sunsky, camera=cam.camera(), instances=None
+            )
+            r = R.Renderer(sc, cfg, tonemapper=r.tonemapper, packed=r.packed)
+
+        def set_sunsky(**kw):
+            import jax.numpy as jnp
+
+            vals = {k: jnp.asarray(v, jnp.float32) for k, v in kw.items()}
+            rebuild(cfg, new_sunsky=sunsky._replace(**vals))
+
+        _sun_az, _sun_el = [80.0], [15.0]  # slider state (degrees)
+
+        def sun_dir():
+            az = np.radians(_sun_az[0])
+            el = np.radians(_sun_el[0])
+            return np.asarray(
+                [np.cos(el) * np.sin(az), np.sin(el), np.cos(el) * np.cos(az)],
+                np.float32,
+            )
 
         while not self._stop:
             # Apply queued UI controls (camera -> reset accumulation;
@@ -219,26 +378,85 @@ class ViewerService:
                     cam.dolly(c["amount"]); dirty_cam = True
                 elif cmd == "pan":
                     cam.pan(c["dx"], c["dy"]); dirty_cam = True
+                elif cmd == "pivot":
+                    cam.set_pivot(c["p"]); dirty_cam = True
                 elif cmd == "set":
                     key, val = c["key"], c["value"]
+                    import jax.numpy as jnp
+
+                    f32 = lambda v: jnp.asarray(v, jnp.float32)
                     if key == "pause":
                         pause = bool(val)
+                    # -- camera (guiCamera + aperture, sample_gui.cpp:109-117)
+                    elif key == "fov":
+                        cam.fov = float(val); dirty_cam = True
+                    elif key == "aperture":
+                        cam.aperture = float(val); dirty_cam = True
+                    elif key == "focal":
+                        cam.focal = float(val); dirty_cam = True
+                    # -- tonemapper (guiTonemapper :196-242): repost only ----
                     elif key == "exposure":
                         # avg_lum is toneMap's exposure multiplier
                         # (tonemapping.glsl:86-88).
-                        import jax.numpy as jnp
-
                         r.tonemapper = r.tonemapper._replace(
-                            avg_lum=jnp.asarray(2.0 ** val, jnp.float32))
-                    elif key in ("depth", "debug"):
-                        cfg = dataclasses.replace(
-                            cfg,
-                            max_depth=int(val) if key == "depth" else cfg.max_depth,
-                            debug_mode=int(val) if key == "debug" else cfg.debug_mode,
-                        )
-                        r = R.Renderer(r.scene, cfg, tonemapper=r.tonemapper,
-                                       packed=r.packed)
-                        dirty_cam = True  # forces reset below
+                            avg_lum=f32(2.0 ** val))
+                    elif key in ("brightness", "contrast", "saturation",
+                                 "vignette"):
+                        r.tonemapper = r.tonemapper._replace(**{key: f32(val)})
+                    elif key == "autoexp":
+                        r.tonemapper = r.tonemapper._replace(
+                            auto_exposure=jnp.asarray(int(val), jnp.int32))
+                    elif key == "dither":
+                        r.tonemapper = r.tonemapper._replace(
+                            dither=jnp.asarray(int(val), jnp.int32))
+                    elif key == "tonemode":
+                        r.tone_mode = int(val)
+                    # -- ray tracing (guiRayTracing :122-193) ----------------
+                    elif key == "depth":
+                        rebuild(dataclasses.replace(cfg, max_depth=int(val)))
+                        dirty_cam = True
+                    elif key == "spp":
+                        rebuild(dataclasses.replace(cfg, max_samples=int(val)))
+                        dirty_cam = True
+                    elif key == "debug":
+                        rebuild(dataclasses.replace(cfg, debug_mode=int(val)))
+                        dirty_cam = True
+                    elif key == "pbr":
+                        rebuild(dataclasses.replace(cfg, pbr_mode=int(val)))
+                        dirty_cam = True
+                    elif key == "renderer":
+                        # Pipeline switch (sample_gui.cpp:180-189): the back
+                        # end is chosen at trace time, so clear the jit caches
+                        # and retrace (createRender rebuilds pipelines too).
+                        os.environ["VKRT_FUSED"] = (
+                            "1" if val == "fused" else "0")
+                        R.render_pool.clear_cache()
+                        R.render_strip.clear_cache()
+                        rebuild(cfg)
+                        dirty_cam = True
+                    # -- sun & sky editor (guiEnvironment :247-325) ----------
+                    elif key == "sunsky":
+                        rebuild(dataclasses.replace(cfg, use_sun_sky=bool(val)))
+                        dirty_cam = True
+                    elif key in ("azimuth", "elevation"):
+                        (_sun_az if key == "azimuth" else _sun_el)[0] = val
+                        set_sunsky(sun_direction=sun_dir()); dirty_cam = True
+                    elif key == "haze":
+                        set_sunsky(haze=val); dirty_cam = True
+                    elif key == "rbshift":
+                        set_sunsky(redblueshift=val); dirty_cam = True
+                    elif key == "skysat":
+                        set_sunsky(saturation=val); dirty_cam = True
+                    elif key == "horizon":
+                        set_sunsky(horizon_height=val); dirty_cam = True
+                    elif key == "horizonblur":
+                        set_sunsky(horizon_blur=val); dirty_cam = True
+                    elif key == "sundisk":
+                        set_sunsky(sun_disk_intensity=val); dirty_cam = True
+                    elif key == "sunscale":
+                        set_sunsky(sun_disk_scale=val); dirty_cam = True
+                    elif key == "sunglow":
+                        set_sunsky(sun_glow_intensity=val); dirty_cam = True
             if dirty_cam:
                 r.scene = r.scene._replace(camera=cam.camera())
                 r.reset()
@@ -250,8 +468,15 @@ class ViewerService:
                     self._mtime = m
                     try:
                         scene, env = C.load_scene_from_args(args)
+                        self._scene0 = scene
                         r = R.Renderer(scene, cfg, tonemapper=r.tonemapper)
-                        cam = OrbitCamera(scene.camera, w, h)
+                        pos = np.asarray(scene.geometry.positions)
+                        cam = OrbitCamera(
+                            scene.camera, w, h,
+                            bounds=(pos.min(axis=0), pos.max(axis=0))
+                            if len(pos) else None,
+                        )
+                        self._cam = cam
                     except Exception:
                         pass
 
@@ -269,8 +494,8 @@ class ViewerService:
                 self._renderer = r
                 self._state = {
                     "frame": r.frame,
-                    "spp": r.frame * cfg.max_samples,
-                    "ms_per_frame": round(1000 * t_frame, 1),
+                    "stats": _scene_stats(r),
+                    "prof": _prof_stats(r, t_frame, cfg),
                 }
 
     # -- HTTP --------------------------------------------------------------
@@ -307,6 +532,14 @@ class ViewerService:
                         if res:
                             res = {k: (v.tolist() if hasattr(v, "tolist") else v)
                                    for k, v in res.items()}
+                            # Pick re-targets the orbit pivot (the reference
+                            # sets the camera interest point the same way,
+                            # sample_example.cpp:493-510).
+                            if "position" in res:
+                                with service._lock:
+                                    service._controls.append(
+                                        {"cmd": "pivot", "p": res["position"]}
+                                    )
                         self._send(200, "application/json",
                                    json.dumps(res).encode())
                     except Exception as e:
@@ -315,7 +548,9 @@ class ViewerService:
                     w, h = service.args.size
                     page = (_PAGE.replace("__W__", str(w))
                             .replace("__H__", str(h))
-                            .replace("__D__", str(service.args.depth)))
+                            .replace("__D__", str(service.args.depth))
+                            .replace("__SS__", "checked" if getattr(
+                                service.args, "sun_sky", False) else ""))
                     self._send(200, "text/html", page.encode())
 
             def do_POST(self):
