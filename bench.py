@@ -29,31 +29,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache, keyed by backend AND host.
+from vk_raytrace_tpu.utils.cache import enable_compile_cache
 
-    The cache must not be shared across machines or backends: the axon
-    remote-compile helper writes CPU-AOT artifacts with the REMOTE host's
-    machine features into whatever dir is configured, and loading those on
-    this host SIGILLs/segfaults (cpu_aot_loader machine-feature mismatch).
-    """
-    try:
-        import platform
-
-        import jax
-
-        base = os.environ.get(
-            "VKRT_COMPILE_CACHE", os.path.expanduser("~/.cache/vkrt_xla")
-        )
-        cache_dir = f"{base}_{jax.default_backend()}_{platform.node()}"
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
-
-
-_enable_compile_cache()
+enable_compile_cache()
 
 W, H = 1920, 1080
 WARMUP_FRAMES = 1

@@ -14,6 +14,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from vk_raytrace_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def build():
     from vk_raytrace_tpu.models import procedural

@@ -19,6 +19,10 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from vk_raytrace_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def build(scene_name: str, w: int, h: int, depth: int):
     from vk_raytrace_tpu.models import procedural

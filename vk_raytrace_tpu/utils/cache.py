@@ -80,3 +80,27 @@ def save(key: str, **arrays) -> None:
             os.remove(tmp)
         except OSError:
             pass
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, keyed by backend AND host.
+
+    The cache must not be shared across machines or backends: the axon
+    remote-compile helper writes CPU-AOT artifacts with the REMOTE host's
+    machine features into whatever dir is configured, and loading those on
+    this host SIGILLs (cpu_aot_loader machine-feature mismatch). Used by
+    bench.py, the CLI, the viewer and the profiling scripts."""
+    try:
+        import platform
+
+        import jax
+
+        base = os.environ.get(
+            "VKRT_COMPILE_CACHE", os.path.expanduser("~/.cache/vkrt_xla")
+        )
+        cache_dir = f"{base}_{jax.default_backend()}_{platform.node()}"
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
