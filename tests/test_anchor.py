@@ -176,3 +176,27 @@ class TestFurnace:
         img = _render(scene, packed, cfg, frames=2)
         mean = float(img[3:-3, 3:-3].mean())
         assert mean > 1.1, mean
+
+
+class TestCompatModeAnchor:
+    def test_cornell_compat_matches_brute(self):
+        """full_mis=False (reference-compat weighting) against the
+        BVH-free brute-force tracer: the compat estimator itself — not
+        just the default one — holds the <1% matched-set RMSE bar that
+        any future RMSE-vs-reference comparison relies on."""
+        import dataclasses
+
+        from vk_raytrace_tpu.integrator.brute import BruteTracer
+
+        geom, mats, lights, cam = cornell_box()
+        scene = build_scene(geom, mats, lights, cam)
+        packed = pack_scene(scene.bvh, scene.geometry)
+        cfg = RenderConfig(
+            width=40, height=40, max_depth=3, max_samples=2,
+            pbr_mode=PBR_GLTF, rr=False, full_mis=False, hdr_multiplier=0.0,
+        )
+        img_bvh = _render(scene, packed, cfg, frames=2)
+        img_brute = _render(
+            scene, packed, cfg, frames=2, tracer=BruteTracer(scene.geometry)
+        )
+        _assert_images_match(img_bvh, img_brute)

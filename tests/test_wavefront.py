@@ -97,3 +97,22 @@ def test_renderer_uses_pool_and_matches_goldens_path():
         frames.append(np.asarray(r2._frame_strips(jnp.asarray(f, jnp.int32))))
     ref = np.mean(frames, axis=0)
     np.testing.assert_allclose(pooled, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pooled_matches_unrolled_compat_mode():
+    """The reference-compat estimator (full_mis=False — the one any RMSE
+    comparison against reference renders must use, schema.py full_mis note)
+    must be implemented identically by the production pooled loop."""
+    import dataclasses
+
+    scene, packed, cfg = _setup(PBR_GLTF)
+    cfg = dataclasses.replace(cfg, full_mis=False)
+    frame = jnp.asarray(2, jnp.int32)
+    ref = R.render_strip_impl(
+        scene, packed, cfg, jnp.asarray(0, jnp.int32), cfg.height, frame, False
+    ).reshape(-1, 3)
+    got, _, _ = render_units_pooled(
+        scene, packed, cfg, frame, False,
+        jnp.asarray(0, jnp.int32), cfg.width * cfg.height, 2048,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
