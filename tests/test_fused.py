@@ -38,11 +38,11 @@ def test_default_planar_is_16_wide(cornell):
     assert bundle.opaque_planar.rows.shape[1] == 128
 
 
-@pytest.mark.parametrize("width", [8, 16])
+@pytest.mark.parametrize("width", [8, 16, 32])
 def test_closest_hit_both_widths(width, cornell):
     geom, bundle = cornell
     planar = (tf.planarize(bundle.opaque) if width == 8
-              else tf.planar16_native(geom))
+              else tf.planar_native(geom, width=width))
     assert planar is not None and planar.width == width
     o, d = _rays(257, 7, jnp.array([0.0, 1.0, 0.0]), 0.9)
     hit_x, _ = tw.closest_hit_wide(bundle.opaque, geom.tri_material, o, d)
@@ -183,3 +183,29 @@ def test_instanced_fused_matches_xla(monkeypatch):
         np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(hit_f.inst), np.asarray(hit_x.inst))
+
+
+def test_width32_policy_full_bundle(monkeypatch):
+    """VKRT_WIDE=32 routes the whole accel bundle (opaque + alpha trees)
+    through 1024-byte 32-wide rows; hits must match the 8-wide XLA body
+    exactly — including the stochastic alpha path, which consumes the SAME
+    RNG sequence regardless of row width."""
+    monkeypatch.setenv("VKRT_WIDE", "32")
+    monkeypatch.setenv("VKRT_FUSED", "1")
+    geom = procedural.city_scene(n_blocks=6)[0]  # includes alpha panels
+    bundle = bvh8.build_accel_bundle(geom)
+    assert bundle.opaque_planar is not None
+    assert bundle.opaque_planar.width == 32
+    assert bundle.opaque_planar.rows.shape[1] == 256
+    if bundle.alpha_planar is not None:
+        assert bundle.alpha_planar.width == 32
+
+    o, d = _rays(512, 11, jnp.array([0.0, 4.0, 0.0]), 20.0)
+    seed = jnp.arange(512, dtype=jnp.uint32)
+    hit_f, _ = tw.closest_hit_bundle(bundle, geom.tri_material, o, d, seed=seed)
+    monkeypatch.setenv("VKRT_FUSED", "0")
+    hit_x, _ = tw.closest_hit_bundle(bundle, geom.tri_material, o, d, seed=seed)
+    np.testing.assert_array_equal(np.asarray(hit_f.tri), np.asarray(hit_x.tri))
+    np.testing.assert_allclose(
+        np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
+    )

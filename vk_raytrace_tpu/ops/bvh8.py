@@ -266,12 +266,12 @@ def _with_planar(
     a native 16-wide 512-byte-row SAH build (same flat per-row gather cost
     as 256B on v5e => ~half the gathers per ray); falls back to a lane
     permutation of the existing 8-wide table."""
-    from .traverse_fused import planar16_native, planarize
+    from .traverse_fused import planar_native, planarize
 
     planar = None
     if geom_o is not None:
         try:
-            planar = planar16_native(geom_o, tri_ids=ids_o)
+            planar = planar_native(geom_o, tri_ids=ids_o)
         except Exception:
             planar = None
     if planar is None:
@@ -287,9 +287,13 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     (utils/cache.py) — the reference gets millisecond driver BLAS builds
     (accelstruct.cpp:110-127); repeat runs here get an ``np.load``."""
     from ..utils import cache as _cache
+    from .traverse_fused import planar_width
 
     key = _cache.content_key(
-        "accel-v2", geom.positions, geom.indices, geom.uv, geom.tri_flags
+        # Keyed by the fused-row width policy too: a cached 16-wide bundle
+        # must not serve a VKRT_WIDE=32 run (see traverse_fused.planar_width).
+        "accel-v2", geom.positions, geom.indices, geom.uv, geom.tri_flags,
+        f"w{planar_width()}"
     )
     hit = _cache.load(key)
     if hit is not None:
@@ -408,13 +412,13 @@ def _with_alpha_planar(
 ) -> AccelBundle:
     """Attach the fused-kernel planar structure for the alpha set (the
     candidate-rounds alpha path, ops/traverse_alpha.py). Same preference
-    order as the opaque planar: native 16-wide SAH, else lane permutation
-    of the 8-wide table."""
-    from .traverse_fused import planar16_native, planarize
+    order as the opaque planar: native wide SAH (width per VKRT_WIDE),
+    else lane permutation of the 8-wide table."""
+    from .traverse_fused import planar_native, planarize
 
     planar = None
     try:
-        planar = planar16_native(geo_a, tri_ids=ids_a)
+        planar = planar_native(geo_a, tri_ids=ids_a)
     except Exception:
         planar = None
     if planar is None and bundle.alpha is not None:

@@ -145,28 +145,44 @@ def planarize(wide, roots=None) -> PlanarScene:
     return PlanarScene(rows=out, stack_depth=int(wide.stack_depth))
 
 
-def planar16_native(geom, tri_ids=None) -> "PlanarScene | None":
-    """Native binned-SAH 16-wide planar build (runtime/native.cpp
-    ``build_bvh16``); None when the native library is unavailable."""
+def planar_width() -> int:
+    """Fused-row width policy: 16 (512B rows, default) or 32 (1024B rows,
+    ``VKRT_WIDE=32`` — half the per-ray row gathers for +14% per gather)."""
+    return 32 if os.environ.get("VKRT_WIDE") == "32" else 16
+
+
+def planar_native(geom, tri_ids=None, width: int | None = None) -> "PlanarScene | None":
+    """Native binned-SAH planar build (runtime/native.cpp ``build_bvh16``/
+    ``build_bvh32``); None when the native library is unavailable."""
     from .. import runtime
 
-    out = runtime.build_bvh16_rows(
+    if width is None:
+        width = planar_width()
+    out = runtime.build_planar_rows(
         np.asarray(geom.positions),
         np.asarray(geom.indices),
         np.asarray(geom.uv),
         np.asarray(geom.tri_flags),
         tri_ids=tri_ids,
+        width=width,
     )
     if out is None:
         return None
     rows, depth = out
-    return PlanarScene(rows=rows, stack_depth=depth, width=16)
+    return PlanarScene(rows=rows, stack_depth=depth, width=width)
+
+
+def planar16_native(geom, tri_ids=None) -> "PlanarScene | None":
+    return planar_native(geom, tri_ids=tri_ids, width=16)
 
 
 _STAGES = {
     8: ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1)),
     16: ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1),
          (16, 8), (16, 4), (16, 2), (16, 1)),
+    32: ((2, 1), (4, 2), (4, 1), (8, 4), (8, 2), (8, 1),
+         (16, 8), (16, 4), (16, 2), (16, 1),
+         (32, 16), (32, 8), (32, 4), (32, 2), (32, 1)),
 }
 
 

@@ -88,6 +88,7 @@ def _load():
         lib.alias_table_build.restype = ctypes.c_float
         lib.build_bvh8.restype = ctypes.c_int64
         lib.build_bvh16.restype = ctypes.c_int64
+        lib.build_bvh32.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = False
@@ -260,21 +261,24 @@ def build_bvh8_rows(
     return None
 
 
-def build_bvh16_rows(
+def build_planar_rows(
     positions: np.ndarray,
     indices: np.ndarray,
     uv: np.ndarray,
     tri_flags: np.ndarray,
     tri_ids: np.ndarray | None = None,
+    width: int = 16,
 ) -> tuple[np.ndarray, int] | None:
-    """Native binned-SAH build of the 16-wide PLANAR 512-byte rows consumed
-    by the fused Pallas traversal (ops/traverse_fused.py). Returns
-    ``(rows (n, 128) f32, stack_depth)`` or None without the native library.
+    """Native binned-SAH build of ``width``-wide PLANAR rows consumed by the
+    fused Pallas traversal (ops/traverse_fused.py). Returns
+    ``(rows (n, width*8) f32, stack_depth)`` or None without the native
+    library.
 
     Same hardware rationale as :func:`build_bvh8_rows` (accelstruct.cpp:
-    110-162 analog); the 16-wide format exists because v5e row gathers cost
-    the same per row at 512B as at 256B, halving per-ray gather counts.
-    """
+    110-162 analog). width=16 -> 512B rows (gathers cost the same per row
+    as 256B: half the per-ray gathers for free); width=32 -> 1024B rows
+    (+14% per gather for half the rows again, VKRT_WIDE=32)."""
+    assert width in (16, 32), width
     lib = _load()
     if not lib:
         return None
@@ -290,18 +294,26 @@ def build_bvh16_rows(
         ids_arg = _ptr(tri_ids)
         max_orig = int(tri_ids.max(initial=0))
     _check_id_ceiling(max_orig)
+    fn = lib.build_bvh16 if width == 16 else lib.build_bvh32
+    leaf = width // 2
     depth = ctypes.c_int32(0)
-    for max_rows in (t // 4 + t // 8 + 16, t + 8):
-        rows = np.empty((max_rows, 128), np.float32)
-        n = lib.build_bvh16(
+    for max_rows in (t // (leaf // 2) + t // leaf + 16, t + 8):
+        rows = np.empty((max_rows, width * 8), np.float32)
+        n = fn(
             _ptr(positions), _ptr(indices), _ptr(uv), ids_arg,
             _ptr(tri_flags), ctypes.c_int64(t), _ptr(rows),
             ctypes.c_int64(max_rows), ctypes.byref(depth),
         )
         if n > 0:
-            _check_ref_ceiling(n, 8)
+            _check_ref_ceiling(n, leaf)
             return np.ascontiguousarray(rows[:n]), int(depth.value)
     return None
+
+
+def build_bvh16_rows(positions, indices, uv, tri_flags, tri_ids=None):
+    return build_planar_rows(
+        positions, indices, uv, tri_flags, tri_ids=tri_ids, width=16
+    )
 
 
 def pack_rgba8(colors: np.ndarray) -> np.ndarray:

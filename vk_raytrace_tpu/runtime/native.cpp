@@ -508,17 +508,19 @@ int64_t build_bvh8(const float* positions, const int32_t* indices,
 // exact per-tree stack bound need(node) = (nkids-1) + max(child needs).
 // ---------------------------------------------------------------------------
 
-namespace wbvh16 {
+namespace wplanar {
 
 using wbvh::BBox;
 using wbvh::Ctx;
 using wbvh::kInvalid;
 
-constexpr int kWidth = 16;
-constexpr int kLeafMax = 8;
-constexpr int kLanes = 128;
+// Width-templated: kWidth children per interior row, kWidth/2 triangles per
+// leaf, kWidth*8 f32 lanes per row. 16 -> 512B rows (the production
+// default), 32 -> 1024B rows (measured +14% per gather for half the rows).
 
-inline int64_t alloc_row16(Ctx& c) {
+template <int kWidth>
+inline int64_t alloc_row(Ctx& c) {
+  constexpr int kLanes = kWidth * 8;
   if (c.n_rows >= c.max_rows) {
     c.overflow = true;
     return 0;
@@ -527,31 +529,38 @@ inline int64_t alloc_row16(Ctx& c) {
   return c.n_rows++;
 }
 
+template <int kWidth>
 inline float make_leaf(Ctx& c, int64_t lo, int64_t hi) {
-  const int64_t row = alloc_row16(c);
+  constexpr int kLanes = kWidth * 8;
+  constexpr int kLeafMax = kWidth / 2;
+  const int64_t row = alloc_row<kWidth>(c);
   float* r = c.rows + row * kLanes;
   const int cnt = int(hi - lo);
   for (int j = 0; j < cnt; ++j) {
     const int32_t p = c.prim[size_t(lo + j)];
     for (int v = 0; v < 3; ++v) {
       const int32_t vi = c.idx[p * 3 + v];
-      r[(v * 3 + 0) * 8 + j] = c.pos[vi * 3 + 0];
-      r[(v * 3 + 1) * 8 + j] = c.pos[vi * 3 + 1];
-      r[(v * 3 + 2) * 8 + j] = c.pos[vi * 3 + 2];
-      r[(9 + v * 2 + 0) * 8 + j] = c.uv[vi * 2 + 0];
-      r[(9 + v * 2 + 1) * 8 + j] = c.uv[vi * 2 + 1];
+      r[(v * 3 + 0) * kLeafMax + j] = c.pos[vi * 3 + 0];
+      r[(v * 3 + 1) * kLeafMax + j] = c.pos[vi * 3 + 1];
+      r[(v * 3 + 2) * kLeafMax + j] = c.pos[vi * 3 + 2];
+      r[(9 + v * 2 + 0) * kLeafMax + j] = c.uv[vi * 2 + 0];
+      r[(9 + v * 2 + 1) * kLeafMax + j] = c.uv[vi * 2 + 1];
     }
     const int64_t orig = c.tri_ids ? c.tri_ids[p] : p;
-    r[15 * 8 + j] = float(orig * 4 + (c.flags[p] & 3));
+    r[15 * kLeafMax + j] = float(orig * 4 + (c.flags[p] & 3));
   }
-  const int64_t leaf_code = row * 8 + (cnt - 1);
+  const int64_t leaf_code = row * kLeafMax + (cnt - 1);
   return float(-(leaf_code + 1));
 }
 
+template <int kWidth>
 float build_node(Ctx& c, int64_t lo, int64_t hi, BBox& out, int32_t& need,
                  bool force_interior);
 
+template <int kWidth>
 inline float make_interior(Ctx& c, int64_t lo, int64_t hi, int32_t& need) {
+  constexpr int kLanes = kWidth * 8;
+  constexpr int kLeafMax = kWidth / 2;
   int64_t parts[kWidth + 1];
   int n_parts = 1;
   parts[0] = lo;
@@ -570,55 +579,51 @@ inline float make_interior(Ctx& c, int64_t lo, int64_t hi, int32_t& need) {
     ++n_parts;
   }
 
-  const int64_t row = alloc_row16(c);
+  const int64_t row = alloc_row<kWidth>(c);
   int32_t kid_need = 0;
   for (int i = 0; i < n_parts && !c.overflow; ++i) {
     BBox box;
     int32_t nd = 0;
-    const float ref = build_node(c, parts[i], parts[i + 1], box, nd, false);
+    const float ref = build_node<kWidth>(c, parts[i], parts[i + 1], box, nd, false);
     kid_need = std::max(kid_need, nd);
     float* r = c.rows + row * kLanes;
-    r[0 * 16 + i] = box.mn[0];
-    r[1 * 16 + i] = box.mn[1];
-    r[2 * 16 + i] = box.mn[2];
-    r[3 * 16 + i] = box.mx[0];
-    r[4 * 16 + i] = box.mx[1];
-    r[5 * 16 + i] = box.mx[2];
-    r[96 + i] = ref;
+    r[0 * kWidth + i] = box.mn[0];
+    r[1 * kWidth + i] = box.mn[1];
+    r[2 * kWidth + i] = box.mn[2];
+    r[3 * kWidth + i] = box.mx[0];
+    r[4 * kWidth + i] = box.mx[1];
+    r[5 * kWidth + i] = box.mx[2];
+    r[6 * kWidth + i] = ref;
   }
   float* r = c.rows + row * kLanes;
   for (int i = n_parts; i < kWidth; ++i) {
-    r[0 * 16 + i] = r[1 * 16 + i] = r[2 * 16 + i] = kInvalid;
-    r[3 * 16 + i] = r[4 * 16 + i] = r[5 * 16 + i] = -kInvalid;
-    r[96 + i] = 0.0f;
+    r[0 * kWidth + i] = r[1 * kWidth + i] = r[2 * kWidth + i] = kInvalid;
+    r[3 * kWidth + i] = r[4 * kWidth + i] = r[5 * kWidth + i] = -kInvalid;
+    r[6 * kWidth + i] = 0.0f;
   }
   need = (n_parts - 1) + kid_need;
   return float(row);
 }
 
+template <int kWidth>
 float build_node(Ctx& c, int64_t lo, int64_t hi, BBox& out, int32_t& need,
                  bool force_interior) {
   out.reset();
   for (int64_t i = lo; i < hi; ++i) out.grow(c.tbox[size_t(c.prim[size_t(i)])]);
   if (c.overflow) return 0.0f;
-  if (!force_interior && hi - lo <= kLeafMax) {
+  if (!force_interior && hi - lo <= kWidth / 2) {
     need = 0;
-    return wbvh16::make_leaf(c, lo, hi);
+    return make_leaf<kWidth>(c, lo, hi);
   }
-  return wbvh16::make_interior(c, lo, hi, need);
+  return make_interior<kWidth>(c, lo, hi, need);
 }
 
-}  // namespace wbvh16
-
-extern "C" {
-
-// Returns rows written (row 0 = root) or -1 on overflow; *stack_depth_out
-// receives the exact worst-case traversal stack need of this tree.
-int64_t build_bvh16(const float* positions, const int32_t* indices,
-                    const float* uv, const int32_t* tri_ids,
-                    const int32_t* tri_flags, int64_t n_tris,
-                    float* rows_out, int64_t max_rows,
-                    int32_t* stack_depth_out) {
+template <int kWidth>
+int64_t build_planar(const float* positions, const int32_t* indices,
+                     const float* uv, const int32_t* tri_ids,
+                     const int32_t* tri_flags, int64_t n_tris,
+                     float* rows_out, int64_t max_rows,
+                     int32_t* stack_depth_out) {
   if (n_tris < 1 || max_rows < 2) return -1;
   wbvh::Ctx c;
   c.pos = positions;
@@ -643,10 +648,36 @@ int64_t build_bvh16(const float* positions, const int32_t* indices,
   wbvh::BBox root_box;
   int32_t need = 1;
   const float root =
-      wbvh16::build_node(c, 0, n_tris, root_box, need, /*force_interior=*/true);
+      build_node<kWidth>(c, 0, n_tris, root_box, need, /*force_interior=*/true);
   if (c.overflow || root != 0.0f) return -1;
   if (stack_depth_out) *stack_depth_out = std::max(need, 1);
   return c.n_rows;
+}
+
+}  // namespace wplanar
+
+extern "C" {
+
+// Returns rows written (row 0 = root) or -1 on overflow; *stack_depth_out
+// receives the exact worst-case traversal stack need of this tree.
+int64_t build_bvh16(const float* positions, const int32_t* indices,
+                    const float* uv, const int32_t* tri_ids,
+                    const int32_t* tri_flags, int64_t n_tris,
+                    float* rows_out, int64_t max_rows,
+                    int32_t* stack_depth_out) {
+  return wplanar::build_planar<16>(positions, indices, uv, tri_ids, tri_flags,
+                                   n_tris, rows_out, max_rows, stack_depth_out);
+}
+
+// 32-wide / 1024-byte-row variant: half the rows per ray for +14% per-row
+// gather cost (VKRT_WIDE=32 selects it; see ops/bvh8.py::_with_planar).
+int64_t build_bvh32(const float* positions, const int32_t* indices,
+                    const float* uv, const int32_t* tri_ids,
+                    const int32_t* tri_flags, int64_t n_tris,
+                    float* rows_out, int64_t max_rows,
+                    int32_t* stack_depth_out) {
+  return wplanar::build_planar<32>(positions, indices, uv, tri_ids, tri_flags,
+                                   n_tris, rows_out, max_rows, stack_depth_out);
 }
 
 }  // extern "C"
