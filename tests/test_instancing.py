@@ -183,3 +183,70 @@ class TestInstancedRender:
         # identical RNG streams; only fp transform rounding differs (plus
         # rare shared-edge tie-breaks, see tests/test_anchor.py)
         assert float((diff < 0.05 * scale).mean()) > 0.97
+
+
+class TestInstancedAlphaSplit:
+    """Two-level opaque/alpha instance split (ops/tlas.py::_two_level):
+    all-opaque instances ride the fused kernel; alpha-carrying instances
+    run the XLA body windowed by the opaque result."""
+
+    def _scene(self):
+        from vk_raytrace_tpu.models.procedural import bistro_scene
+
+        pool, inst, mats, lights, cam, atlas = bistro_scene(detail=0.05)
+        from vk_raytrace_tpu.ops.tlas import build_instanced_accel
+
+        return pool, inst, mats, atlas, build_instanced_accel(pool, inst)
+
+    def test_mask_matches_mesh_flags(self):
+        pool, inst, mats, atlas, accel = self._scene()
+        flags = np.asarray(pool.geometry.tri_flags)
+        for i, mid in enumerate(np.asarray(inst.mesh_id)):
+            lo = int(pool.tri_start[mid])
+            cnt = int(pool.tri_count[mid])
+            expect = bool(np.any(flags[lo:lo + cnt] & 2))
+            assert bool(np.asarray(accel.inst_alpha)[i]) == expect
+        assert bool(np.asarray(accel.inst_alpha).any())       # foliage
+        assert not bool(np.asarray(accel.inst_alpha).all())   # street etc.
+
+    def test_opaque_hits_unchanged_by_alpha_ctx(self):
+        """Rays that hit opaque geometry in front of any alpha surface must
+        return the identical hit with and without the alpha machinery."""
+        from vk_raytrace_tpu.ops.traverse import AlphaCtx
+        from vk_raytrace_tpu.ops.tlas import closest_hit_instanced
+        from vk_raytrace_tpu.models.schema import SceneData  # noqa: F401
+
+        pool, inst, mats, atlas, accel = self._scene()
+        tm = pool.geometry.tri_material
+        # straight down onto the street from above the tree line
+        n = 256
+        g = np.random.default_rng(1)
+        o = np.stack([
+            g.uniform(-40, 40, n), np.full(n, 25.0), g.uniform(-9, 9, n)
+        ], -1).astype(np.float32)
+        d = np.tile(np.asarray([[0.001, -1.0, 0.0]], np.float32), (n, 1))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        seed = jnp.arange(n, dtype=jnp.uint32)
+
+        import jax
+
+        ctx = jax.tree.map(jnp.asarray, AlphaCtx(materials=mats, atlas=atlas))
+        hit_a, _ = closest_hit_instanced(
+            accel, tm, jnp.asarray(o), jnp.asarray(d), seed=seed, alpha_ctx=ctx
+        )
+        hit_o, _ = closest_hit_instanced(
+            accel, tm, jnp.asarray(o), jnp.asarray(d)
+        )
+        flags = np.asarray(pool.geometry.tri_flags)
+        ta, to = np.asarray(hit_a.t), np.asarray(hit_o.t)
+        tri_a, tri_o = np.asarray(hit_a.tri), np.asarray(hit_o.tri)
+        # Lanes whose all-opaque result is NOT an alpha triangle and whose
+        # alpha-split result picked the same surface class: t must agree.
+        opaque_hit = (tri_o >= 0) & ((flags[np.maximum(tri_o, 0)] & 2) == 0)
+        same = opaque_hit & (tri_a == tri_o)
+        assert same.mean() > 0.5  # most street rays see no foliage
+        np.testing.assert_allclose(ta[same], to[same], rtol=1e-5)
+        # Every alpha-split hit is never FARTHER than the opaque-only hit
+        # (alpha surfaces can only add nearer hits).
+        both = (tri_a >= 0) & (tri_o >= 0)
+        assert np.all(ta[both] <= to[both] * (1 + 1e-5))

@@ -48,6 +48,12 @@ class InstancedAccel(NamedTuple):
     # Planar copy for the fused Pallas BLAS traversal (per-lane roots);
     # used for the opaque path when no alpha machinery is needed.
     blas_planar: object | None = None
+    # (I,) bool: instance's mesh contains >=1 alpha-flagged triangle. With
+    # an alpha_ctx the traversal splits: all-opaque instances ride the
+    # fused kernel, alpha-carrying ones the XLA body in a window pruned by
+    # the opaque result (the two-level analog of the opaque/alpha tree
+    # split of ops/bvh8.py::split_scene).
+    inst_alpha: jax.Array | None = None
 
 
 def _classify_interior(rows: np.ndarray) -> np.ndarray:
@@ -118,18 +124,25 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
     all_rows = np.concatenate(tables, axis=0)
     from .traverse_fused import planarize
 
+    mesh_alpha = np.zeros(n_mesh, bool)
+    for m in range(n_mesh):
+        lo = int(pool.tri_start[m])
+        cnt = int(pool.tri_count[m])
+        mesh_alpha[m] = bool(np.any(flg[lo:lo + cnt] & 2))
     blas = WideScene(rows=all_rows, stack_depth=depth)
     return InstancedAccel(
         blas=blas,
         mesh_root=np.asarray(roots, np.int32),
         inst=inst,
         blas_planar=planarize(blas, roots=roots),
+        inst_alpha=mesh_alpha[np.asarray(inst.mesh_id)],
     )
 
 
-def _instance_slab(inst: InstanceTable, origin, direction, t_best):
+def _instance_slab(inst: InstanceTable, origin, direction, t_best, mask=None):
     """Entry distance of each ray into each instance AABB: (R, I) f32,
-    INF where missed or not closer than the ray's best hit."""
+    INF where missed, not closer than the ray's best hit, or outside the
+    optional (I,) instance ``mask``."""
     inv_d = 1.0 / jnp.where(
         jnp.abs(direction) < 1e-20,
         jnp.where(direction < 0, -1e-20, 1e-20),
@@ -142,6 +155,8 @@ def _instance_slab(inst: InstanceTable, origin, direction, t_best):
     tn = jnp.max(jnp.minimum(lo, hi), axis=-1)
     tf = jnp.min(jnp.maximum(lo, hi), axis=-1)
     hit = (tn <= tf) & (tf >= 0.0) & (tn < t_best[:, None])
+    if mask is not None:
+        hit = hit & mask[None, :]
     return jnp.where(hit, tn, INF)
 
 
@@ -167,7 +182,7 @@ def _transform_rays(inst: InstanceTable, iid, origin, direction):
     return o_obj, d_obj
 
 
-def _two_level(
+def _two_level_pass(
     accel: InstancedAccel,
     tri_material,
     origin,
@@ -177,18 +192,16 @@ def _two_level(
     alpha_ctx: Optional[AlphaCtx],
     cull_backface: bool,
     any_hit_mode: bool,
-    active: Optional[jax.Array],
+    act: jax.Array,
+    inst_mask: Optional[jax.Array],
+    use_fused: bool,
 ):
+    """Candidate rounds over the instances selected by ``inst_mask``."""
     r = origin.shape[0]
-    # Lift host-numpy tables for eager callers (no-op under jit).
-    accel = jax.tree.map(jnp.asarray, accel)
-    if seed is None:
-        seed = jnp.zeros((r,), jnp.uint32)
-    act = jnp.ones((r,), bool) if active is None else active
 
     def round_body(carry):
         t_best, tri, u, v, ibest, seed, last_t, last_id, steps, _ = carry
-        entry = _instance_slab(accel.inst, origin, direction, t_best)
+        entry = _instance_slab(accel.inst, origin, direction, t_best, inst_mask)
         nt, nid = _next_candidate(entry, last_t, last_id)
         has = act & (nid >= 0)
         if any_hit_mode:
@@ -197,11 +210,7 @@ def _two_level(
         root = accel.mesh_root[accel.inst.mesh_id[jnp.maximum(nid, 0)]]
         from . import traverse_fused as tf_
 
-        if (
-            alpha_ctx is None
-            and accel.blas_planar is not None
-            and tf_.enabled()
-        ):
+        if use_fused:
             hit = tf_._traverse_fused(
                 accel.blas_planar, o_obj, d_obj, t_best,
                 cull_backface=cull_backface, any_hit_mode=any_hit_mode,
@@ -223,7 +232,9 @@ def _two_level(
         last_id = jnp.where(has, nid, last_id)
         steps = steps + hit.steps + has.astype(jnp.int32)
         # Another round is needed if any lane could still have a candidate.
-        entry2 = _instance_slab(accel.inst, origin, direction, t_best)
+        entry2 = _instance_slab(
+            accel.inst, origin, direction, t_best, inst_mask
+        )
         nt2, nid2 = _next_candidate(entry2, last_t, last_id)
         more = act & (nid2 >= 0)
         if any_hit_mode:
@@ -244,8 +255,86 @@ def _two_level(
     )
     out = jax.lax.while_loop(lambda c: c[-1], round_body, init)
     t_best, tri, u, v, ibest, seed, _, _, steps, _ = out
-    t_out = jnp.where(tri >= 0, t_best, INF)
-    return Hit(t=t_out, tri=tri, u=u, v=v, steps=steps, inst=ibest), seed
+    return t_best, tri, u, v, ibest, seed, steps
+
+
+def _two_level(
+    accel: InstancedAccel,
+    tri_material,
+    origin,
+    direction,
+    t_max,
+    seed,
+    alpha_ctx: Optional[AlphaCtx],
+    cull_backface: bool,
+    any_hit_mode: bool,
+    active: Optional[jax.Array],
+):
+    r = origin.shape[0]
+    # Lift host-numpy tables for eager callers (no-op under jit).
+    accel = jax.tree.map(jnp.asarray, accel)
+    if seed is None:
+        seed = jnp.zeros((r,), jnp.uint32)
+    act = jnp.ones((r,), bool) if active is None else active
+    from . import traverse_fused as tf_
+
+    fused_ok = accel.blas_planar is not None and tf_.enabled()
+
+    if alpha_ctx is None or accel.inst_alpha is None:
+        # One pass over ALL instances: pick()/no-alpha scenes (fused), or a
+        # pre-split accel with an alpha_ctx (XLA inline test, round-2 path).
+        t_best, tri, u, v, ibest, seed, steps = _two_level_pass(
+            accel, tri_material, origin, direction, t_max, seed, alpha_ctx,
+            cull_backface, any_hit_mode, act, None,
+            fused_ok and alpha_ctx is None,
+        )
+        t_out = jnp.where(tri >= 0, t_best, INF)
+        return Hit(t=t_out, tri=tri, u=u, v=v, steps=steps, inst=ibest), seed
+
+    # Opaque/alpha instance split (the two-level analog of bvh8.split_scene):
+    # all-opaque instances ride the fused kernel; alpha-carrying instances
+    # run the XLA body with the stochastic test, windowed by the opaque
+    # result so the slow path only covers the remaining interval.
+    t_o, tri_o, u_o, v_o, i_o, seed, st_o = _two_level_pass(
+        accel, tri_material, origin, direction, t_max, seed, None,
+        cull_backface, any_hit_mode, act, ~accel.inst_alpha, fused_ok,
+    )
+    if any_hit_mode:
+        # Occluded by the opaque set already? Alpha pass only for the rest.
+        act_a = act & (tri_o < 0)
+        t_a, tri_a, u_a, v_a, i_a, seed, st_a = _two_level_pass(
+            accel, tri_material, origin, direction, t_max, seed, alpha_ctx,
+            cull_backface, any_hit_mode, act_a, accel.inst_alpha, False,
+        )
+        tri = jnp.where(tri_o >= 0, tri_o, tri_a)
+        t_best = jnp.where(tri_o >= 0, t_o, t_a)
+        return (
+            Hit(
+                t=jnp.where(tri >= 0, t_best, INF), tri=tri,
+                u=jnp.where(tri_o >= 0, u_o, u_a),
+                v=jnp.where(tri_o >= 0, v_o, v_a),
+                steps=st_o + st_a,
+                inst=jnp.where(tri_o >= 0, i_o, i_a),
+            ),
+            seed,
+        )
+    t_a, tri_a, u_a, v_a, i_a, seed, st_a = _two_level_pass(
+        accel, tri_material, origin, direction, t_o, seed, alpha_ctx,
+        cull_backface, any_hit_mode, act, accel.inst_alpha, False,
+    )
+    nearer = (tri_a >= 0) & (t_a < t_o)
+    tri = jnp.where(nearer, tri_a, tri_o)
+    t_best = jnp.where(nearer, t_a, t_o)
+    return (
+        Hit(
+            t=jnp.where(tri >= 0, t_best, INF), tri=tri,
+            u=jnp.where(nearer, u_a, u_o),
+            v=jnp.where(nearer, v_a, v_o),
+            steps=st_o + st_a,
+            inst=jnp.where(nearer, i_a, i_o),
+        ),
+        seed,
+    )
 
 
 def closest_hit_instanced(
