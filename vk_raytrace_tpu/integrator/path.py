@@ -264,7 +264,8 @@ def trace_paths(
             shade_rows=scene.shade_rows,
         )
         state = resolve_material(
-            ss, scene.materials, scene.atlas, st.direction, features=features
+            ss, scene.materials, scene.atlas, st.direction, features=features,
+            tap_rows=scene.tap_rows,
         )
 
         debug = st.debug

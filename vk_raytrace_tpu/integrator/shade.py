@@ -357,12 +357,83 @@ def _tap_packed(atlas: TextureAtlas, prow, name, uv, srgb=False):
     return jnp.where((tid < 0.0)[..., None], jnp.ones_like(out), out)
 
 
+def _axis_base(p: jax.Array, size: jax.Array, mode: jax.Array):
+    """Reduce one bilinear axis to (base texel, blend weight) against the
+    footprint rows of :func:`~vk_raytrace_tpu.ops.texture.build_tap_rows`.
+
+    The footprint row at base ``b`` holds ``(b, b+1-wrapped)``; each wrap
+    mode's 2-tap blend is expressible in that form:
+
+    * REPEAT: base ``floor(p) % size``, weight ``frac(p)``.
+    * CLAMP: clamp ``p`` into ``[0, size-1]`` first — the out-of-range taps
+      of the reference blend (both taps = edge texel) collapse to weight
+      0/1 against the in-range pair.
+    * MIRROR: the ascending branch is REPEAT-like; the descending branch
+      (tap pair ``(m, m-1)``) is the footprint at ``m-1`` with weight
+      ``1-frac``; at the period edge (``m == 0``) both taps coincide.
+    """
+    sf = size.astype(jnp.float32)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    f = p - i0.astype(jnp.float32)
+    b_rep = jnp.remainder(i0, size)
+    pc = jnp.clip(p, 0.0, sf - 1.0)
+    b_clm = jnp.clip(
+        jnp.floor(pc).astype(jnp.int32), 0, jnp.maximum(size - 2, 0)
+    )
+    g_clm = pc - b_clm.astype(jnp.float32)
+    m2 = jnp.remainder(i0, 2 * size)
+    asc = m2 < size
+    xw = jnp.where(asc, m2, 2 * size - 1 - m2)
+    b_mir = jnp.where(asc, xw, jnp.maximum(xw - 1, 0))
+    g_mir = jnp.where(asc, f, jnp.where(xw > 0, 1.0 - f, 0.0))
+    b = jnp.where(mode == 0, b_rep, jnp.where(mode == 1, b_clm, b_mir))
+    g = jnp.where(mode == 0, f, jnp.where(mode == 1, g_clm, g_mir))
+    return b, g
+
+
+def _tap_footprint(atlas, tap_rows, prow, name, uv, srgb=False):
+    """Bilinear tap as ONE footprint-row gather (vs 4 texel gathers in
+    :func:`_tap_packed`): the (H*W, 4) u32 table from ``build_tap_rows``
+    already holds each base texel's wrapped 2x2 neighborhood."""
+    o = _OFFS[name]
+    tid = prow[:, o]
+    ox = prow[:, o + 1].astype(jnp.int32)
+    oy = prow[:, o + 2].astype(jnp.int32)
+    w = jnp.maximum(prow[:, o + 3].astype(jnp.int32), 1)
+    h = jnp.maximum(prow[:, o + 4].astype(jnp.int32), 1)
+    wrap = prow[:, o + 5].astype(jnp.int32)
+    ws, wt = wrap // 3, wrap % 3
+
+    px = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    py = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    bx, gx = _axis_base(px, w, ws)
+    by, gy = _axis_base(py, h, wt)
+
+    aw = atlas.data.shape[1]
+    row = tap_rows[(oy + by) * aw + (ox + bx)]      # (R, 4): THE gather
+    c00 = _unpack_rgba8(row[:, 0])
+    c10 = _unpack_rgba8(row[:, 1])
+    c01 = _unpack_rgba8(row[:, 2])
+    c11 = _unpack_rgba8(row[:, 3])
+    gx = gx[..., None]
+    gy = gy[..., None]
+    top = c00 + (c10 - c00) * gx
+    bot = c01 + (c11 - c01) * gx
+    out = top + (bot - top) * gy
+    if srgb:
+        out = jnp.concatenate(
+            [srgb_to_linear(out[..., :3]), out[..., 3:4]], axis=-1
+        )
+    return jnp.where((tid < 0.0)[..., None], jnp.ones_like(out), out)
+
+
 def resolve_material(
     ss: dict,
     materials: Materials,
     atlas: TextureAtlas,
     ray_dir: jax.Array,
     features: MatFeatures | None = None,
+    tap_rows: jax.Array | None = None,
 ) -> SurfState:
     """``GetMaterialsAndTextures`` (gltf_material.glsl:105-193) over the batch.
 
@@ -372,6 +443,11 @@ def resolve_material(
         features = MatFeatures()
     rows = pack_material_rows(materials, atlas)
     prow = rows[ss["mat_id"]]                       # (R, 60): THE gather
+
+    def tap(name, uv, srgb=False):
+        if tap_rows is not None:
+            return _tap_footprint(atlas, tap_rows, prow, name, uv, srgb=srgb)
+        return _tap_packed(atlas, prow, name, uv, srgb=srgb)
     ones4 = jnp.ones(prow.shape[:1] + (4,), jnp.float32)
 
     # UV transform: [u, v, 1] @ T (gltf_material.glsl:116)
@@ -396,7 +472,7 @@ def resolve_material(
     # rebuild the tangent frame from the new ffnormal.
     if features.normal_tex:
         nscale = _col(prow, "normal_scale")
-        nval = _tap_packed(atlas, prow, "normal_tex", uv)[..., :3]
+        nval = tap("normal_tex", uv)[..., :3]
         nvec = normalize(nval * 2.0 - 1.0)
         nvec = nvec * jnp.stack([nscale, nscale, jnp.ones_like(nscale)], axis=-1)
         mapped = normalize(
@@ -415,24 +491,16 @@ def resolve_material(
     # Emission (gltf_material.glsl:131-135)
     emission = _col(prow, "emissive_factor", 3)
     if features.emissive_tex:
-        emission = emission * _tap_packed(
-            atlas, prow, "emissive_tex", uv, srgb=True
-        )[..., :3]
+        emission = emission * tap("emissive_tex", uv, srgb=True)[..., :3]
 
     # Metallic-roughness + base color (gltf_material.glsl:52-93)
     ior = _col(prow, "ior")
     dielectric_spec = ((ior - 1.0) / (ior + 1.0)) ** 2
-    mr = (
-        _tap_packed(atlas, prow, "mr_tex", uv)
-        if features.mr_tex
-        else ones4
-    )
+    mr = tap("mr_tex", uv) if features.mr_tex else ones4
     roughness = mr[..., 1] * _col(prow, "rough_f")
     metallic = mr[..., 2] * _col(prow, "metal_f")
     base = _col(prow, "base_factor", 4) * (
-        _tap_packed(atlas, prow, "base_tex", uv, srgb=True)
-        if features.base_tex
-        else ones4
+        tap("base_tex", uv, srgb=True) if features.base_tex else ones4
     )
     f0 = (
         dielectric_spec[..., None] * (1.0 - metallic[..., None])

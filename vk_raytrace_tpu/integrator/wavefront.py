@@ -199,7 +199,8 @@ def render_units_pooled(
             shade_rows=scene.shade_rows,
         )
         state = resolve_material(
-            ss, scene.materials, scene.atlas, st.direction, features=features
+            ss, scene.materials, scene.atlas, st.direction, features=features,
+            tap_rows=scene.tap_rows,
         )
 
         # ---- Unlit shortcut (pathtrace.glsl:258-262) ---------------------

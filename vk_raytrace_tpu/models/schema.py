@@ -266,6 +266,9 @@ class SceneData(NamedTuple):
     # Packed per-triangle shade rows (integrator/shade.py::build_shade_rows):
     # ONE row gather replaces ~18 vertex-attribute gathers per shaded lane.
     shade_rows: Optional[jax.Array] = None
+    # Per-texel 2x2 bilinear footprint rows (ops/texture.py::build_tap_rows):
+    # ONE row gather per texture tap instead of 4 texel gathers.
+    tap_rows: Optional[jax.Array] = None
 
 
 class Tonemapper(NamedTuple):

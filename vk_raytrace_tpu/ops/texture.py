@@ -77,6 +77,69 @@ def sample_atlas(atlas: TextureAtlas, tex_id: jax.Array, uv: jax.Array) -> jax.A
     return jnp.where((tex_id < 0)[..., None], jnp.ones_like(out), out)
 
 
+def build_tap_rows(atlas: TextureAtlas):
+    """Per-texel 2x2 bilinear footprint table: ``(H*W, 4) u32`` where row
+    ``y*W + x`` holds the RGBA8 texels ``[c00, c10, c01, c11]`` of the
+    bilinear footprint whose base texel is ``(x, y)``, with the +1 neighbors
+    already wrapped per the owning texture's wrap mode.
+
+    Turns the 4 texel gathers of :func:`sample_atlas` into ONE row gather
+    (v5e gathers cost flat per ROW up to 512 B — docs/PERFORMANCE.md), the
+    same packing that took env-map misses from 4 gathers to 1
+    (``models/hdr.py::pack_env_rows``). Integer rows carry the raw RGBA8
+    words: u32 lanes are exact on TPU (no f32 denormal flushing concerns).
+
+    Neighbor maps per wrap mode (see ``integrator/shade.py::_axis_base`` for
+    the matching per-ray base/weight remap):
+
+    * REPEAT: ``(i+1) % size``
+    * CLAMP: ``min(i+1, size-1)``
+    * MIRROR: ``min(i+1, size-1)`` — the ascending-branch map; the
+      descending branch of the mirror period is expressed at sample time as
+      base ``i-1`` with weight ``1-f``, which lands on the same rows.
+    """
+    import numpy as np
+
+    data = np.asarray(atlas.data)
+    h_a, w_a = data.shape[:2]
+    u32 = (
+        data[..., 0].astype(np.uint32)
+        | (data[..., 1].astype(np.uint32) << 8)
+        | (data[..., 2].astype(np.uint32) << 16)
+        | (data[..., 3].astype(np.uint32) << 24)
+    )
+    rows = np.zeros((h_a * w_a, 4), np.uint32)
+
+    def neighbor(i, size, mode):
+        if mode == WRAP_REPEAT:
+            return (i + 1) % size
+        return np.minimum(i + 1, size - 1)  # clamp & mirror-ascending
+
+    n = len(np.asarray(atlas.x))
+    xs_t = np.asarray(atlas.x)
+    ys_t = np.asarray(atlas.y)
+    ws_t = np.asarray(atlas.width)
+    hs_t = np.asarray(atlas.height)
+    wraps = np.asarray(atlas.wrap_s)
+    wrapt = np.asarray(atlas.wrap_t)
+    for t in range(n):
+        ox, oy = int(xs_t[t]), int(ys_t[t])
+        w, h = int(ws_t[t]), int(hs_t[t])
+        if w <= 0 or h <= 0:
+            continue
+        xs = np.arange(w)
+        ys = np.arange(h)
+        nx = neighbor(xs, w, int(wraps[t]))
+        ny = neighbor(ys, h, int(wrapt[t]))
+        sub = u32[oy : oy + h, ox : ox + w]
+        flat = ((oy + ys)[:, None] * w_a + (ox + xs)[None, :]).ravel()
+        rows[flat, 0] = sub.ravel()
+        rows[flat, 1] = sub[:, nx].ravel()
+        rows[flat, 2] = sub[ny, :].ravel()
+        rows[flat, 3] = sub[ny][:, nx].ravel()
+    return rows
+
+
 def sample_env(image: jax.Array, uv: jax.Array) -> jax.Array:
     """Bilinear fetch from the f32 lat-long environment map.
 

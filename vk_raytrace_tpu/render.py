@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -77,7 +78,9 @@ def build_scene(
             np.count_nonzero(np.asarray(lights.intensity) > 0.0)
         )
     from .integrator.shade import build_shade_rows
+    from .ops.texture import build_tap_rows
 
+    use_tap_rows = os.environ.get("VKRT_TAPROWS", "1") != "0"
     return SceneData(
         geometry=geometry,
         materials=materials,
@@ -89,6 +92,11 @@ def build_scene(
         sun_sky=sun_sky if sun_sky is not None else default_sun_sky(),
         bvh=bvh,
         shade_rows=build_shade_rows(geometry),
+        tap_rows=(
+            build_tap_rows(atlas)
+            if (atlas is not None and use_tap_rows)
+            else None
+        ),
     )
 
 
