@@ -196,12 +196,18 @@ def _two_level_pass(
     inst_mask: Optional[jax.Array],
     use_fused: bool,
 ):
-    """Candidate rounds over the instances selected by ``inst_mask``."""
+    """Candidate rounds over the instances selected by ``inst_mask``.
+
+    The (R, I) slab test runs ONCE per traversal (hoisted out of the round
+    loop as an XLA loop constant): ``t_best`` only ever decreases, so every
+    later round's candidate set is the initial entry table masked by the
+    current best hit — no recompute."""
     r = origin.shape[0]
+    entry0 = _instance_slab(accel.inst, origin, direction, t_max, inst_mask)
 
     def round_body(carry):
         t_best, tri, u, v, ibest, seed, last_t, last_id, steps, _ = carry
-        entry = _instance_slab(accel.inst, origin, direction, t_best, inst_mask)
+        entry = jnp.where(entry0 < t_best[:, None], entry0, INF)
         nt, nid = _next_candidate(entry, last_t, last_id)
         has = act & (nid >= 0)
         if any_hit_mode:
@@ -232,9 +238,7 @@ def _two_level_pass(
         last_id = jnp.where(has, nid, last_id)
         steps = steps + hit.steps + has.astype(jnp.int32)
         # Another round is needed if any lane could still have a candidate.
-        entry2 = _instance_slab(
-            accel.inst, origin, direction, t_best, inst_mask
-        )
+        entry2 = jnp.where(entry0 < t_best[:, None], entry0, INF)
         nt2, nid2 = _next_candidate(entry2, last_t, last_id)
         more = act & (nid2 >= 0)
         if any_hit_mode:
