@@ -3,7 +3,7 @@ components disabled to attribute real in-frame cost (trace event times
 overlap async copies and double-count nesting; wall-clock deltas don't).
 
 Usage: python scripts/ablate.py [names...]   (default: all)
-Names: base noscatter noalpha xlaalpha noshadow nonee
+Names: base noscatter noalpha xlaalpha noshadow nonee notaprows
 """
 
 from __future__ import annotations
@@ -54,7 +54,10 @@ def main():
         os.environ.pop("VKRT_ABLATE", None)
         os.environ.pop("VKRT_FUSED_ALPHA", None)
         packed_orig = r.packed
-        if name == "noscatter":
+        scene_orig = r.scene
+        if name == "notaprows":
+            r.scene = r.scene._replace(tap_rows=None)
+        elif name == "noscatter":
             os.environ["VKRT_ABLATE"] = "noscatter"
         elif name == "noalpha":
             r.packed = r.packed._replace(alpha=None)
@@ -74,6 +77,7 @@ def main():
         delta = f"  (base - this = {1e3*(base-dt):7.1f} ms)" if base and name != "base" else ""
         print(f"{name:12s} {dt*1e3:8.1f} ms/frame{delta}", flush=True)
         r.packed = packed_orig
+        r.scene = scene_orig
     os.environ.pop("VKRT_ABLATE", None)
 
 
