@@ -250,3 +250,83 @@ class TestInstancedAlphaSplit:
         # (alpha surfaces can only add nearer hits).
         both = (tri_a >= 0) & (tri_o >= 0)
         assert np.all(ta[both] <= to[both] * (1 + 1e-5))
+
+
+class TestScanCandidate:
+    """The chunked large-I candidate selector must match the dense path
+    bit-for-bit: same hits, same instance ids, same t."""
+
+    def test_scan_matches_dense(self, monkeypatch):
+        pool, inst, baked = _build_both()
+        accel = build_instanced_accel(pool, inst)
+        o, d = _rays(n=1024, seed=11)
+        hit_dense, _ = closest_hit_instanced(
+            accel, pool.geometry.tri_material, o, d
+        )
+        monkeypatch.setenv("VKRT_TLAS_SCAN", "1")
+        hit_scan, _ = closest_hit_instanced(
+            accel, pool.geometry.tri_material, o, d
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit_dense.tri), np.asarray(hit_scan.tri)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit_dense.inst), np.asarray(hit_scan.inst)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit_dense.t), np.asarray(hit_scan.t)
+        )
+
+    def test_scan_any_hit_matches_dense(self, monkeypatch):
+        pool, inst, baked = _build_both()
+        accel = build_instanced_accel(pool, inst)
+        o, d = _rays(n=1024, seed=12)
+        t_max = jnp.full((1024,), 4.0)
+        occ_dense, _ = any_hit_instanced(
+            accel, pool.geometry.tri_material, o, d, t_max
+        )
+        monkeypatch.setenv("VKRT_TLAS_SCAN", "1")
+        occ_scan, _ = any_hit_instanced(
+            accel, pool.geometry.tri_material, o, d, t_max
+        )
+        np.testing.assert_array_equal(
+            np.asarray(occ_dense), np.asarray(occ_scan)
+        )
+
+    def test_many_instances_scan_auto(self):
+        """>512 instances trip the scan path automatically and still
+        enumerate overlaps correctly (grid of boxes, axis-aligned rays that
+        pierce a whole row of instances)."""
+        from vk_raytrace_tpu.ops import tlas as T
+
+        bv, bi = _box([0, 0, 0], [0.8, 0.8, 0.8])
+        ib = InstancedSceneBuilder()
+        mid = ib.add_mesh(bv, bi, 0)
+        side = 9  # 9^3 = 729 > _DENSE_I_MAX
+        for ix in range(side):
+            for iy in range(side):
+                for iz in range(side):
+                    m = np.eye(4)
+                    m[:3, 3] = [ix * 2.0, iy * 2.0, iz * 2.0]
+                    ib.add_instance(mid, m)
+        pool, inst = ib.build()
+        assert inst.aabb_min.shape[0] > T._DENSE_I_MAX
+        accel = build_instanced_accel(pool, inst)
+        # Rays along +x through the middle of each row of boxes: nearest
+        # hit must be the first box of the row (instance id = ix 0).
+        n = side * side
+        ys, zs = np.meshgrid(np.arange(side), np.arange(side))
+        o = np.stack(
+            [np.full(n, -5.0), ys.ravel() * 2.0, zs.ravel() * 2.0], axis=1
+        ).astype(np.float32)
+        d = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (n, 1))
+        hit, _ = closest_hit_instanced(
+            accel, pool.geometry.tri_material, jnp.asarray(o), jnp.asarray(d)
+        )
+        t = np.asarray(hit.t)
+        assert (t < 1e30).all()
+        np.testing.assert_allclose(t, 5.0 - 0.4, rtol=1e-5)
+        # the hit instance is the ix=0 box of each (iy, iz) row
+        inst_ids = np.asarray(hit.inst)
+        want = ys.ravel() * side + zs.ravel()  # add_instance order: ix major
+        np.testing.assert_array_equal(inst_ids, want)

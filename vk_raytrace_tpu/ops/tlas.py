@@ -24,6 +24,7 @@ map), so hits from different instances compare directly.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -160,6 +161,75 @@ def _instance_slab(inst: InstanceTable, origin, direction, t_best, mask=None):
     return jnp.where(hit, tn, INF)
 
 
+# Above this instance count the top level stops materializing the (R, I)
+# entry table (1 GB at R=512k, I=512) and scans the instance table in
+# chunks instead: slab math is VPU-cheap next to HBM traffic (the measured
+# machine model, docs/PERFORMANCE.md), so recomputing per round costs ~ms
+# while the working set stays (R, chunk). VKRT_TLAS_SCAN=1 forces the scan
+# path (tests).
+_DENSE_I_MAX = 512
+_SCAN_CHUNK = 128
+
+
+def _scan_candidate(
+    inst: InstanceTable, origin, direction, t_best, last_t, last_id, mask
+):
+    """Per ray: the lexicographically smallest (entry_t, id) strictly after
+    (last_t, last_id) with entry_t < t_best — computed by a chunked
+    ``lax.scan`` over the instance table, never materializing (R, I).
+    Semantics identical to ``_next_candidate`` over ``_instance_slab``."""
+    import numpy as np  # chunk/pad shapes are static
+
+    n = inst.aabb_min.shape[0]
+    chunk = min(_SCAN_CHUNK, max(int(np.rint(2 ** np.ceil(np.log2(max(n, 1))))), 1))
+    pad = (-n) % chunk
+    # Padded entries carry an empty AABB (min > max): slab test always misses.
+    amin = jnp.concatenate(
+        [inst.aabb_min, jnp.ones((pad, 3), inst.aabb_min.dtype)], axis=0
+    )
+    amax = jnp.concatenate(
+        [inst.aabb_max, jnp.zeros((pad, 3), inst.aabb_max.dtype)], axis=0
+    )
+    m = jnp.ones((n,), bool) if mask is None else mask
+    m = jnp.concatenate([m, jnp.zeros((pad,), bool)], axis=0)
+    n_chunks = (n + pad) // chunk
+
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.where(direction < 0, -1e-20, 1e-20),
+        direction,
+    )
+    r = origin.shape[0]
+
+    def body(carry, xs):
+        bt, bi = carry
+        cmin, cmax, cm, base = xs
+        lo = (cmin[None, :, :] - origin[:, None, :]) * inv_d[:, None, :]
+        hi = (cmax[None, :, :] - origin[:, None, :]) * inv_d[:, None, :]
+        tn = jnp.max(jnp.minimum(lo, hi), axis=-1)       # (R, chunk)
+        tf = jnp.min(jnp.maximum(lo, hi), axis=-1)
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, tn.shape, 1)
+        ok = (tn <= tf) & (tf >= 0.0) & (tn < t_best[:, None]) & cm[None, :]
+        after = (tn > last_t[:, None]) | (
+            (tn == last_t[:, None]) & (ids > last_id[:, None])
+        )
+        key = jnp.where(ok & after, tn, INF)
+        ct = jnp.min(key, axis=1)
+        ci = base + jnp.argmin(key, axis=1).astype(jnp.int32)
+        better = (ct < bt) | ((ct == bt) & (ci < bi))
+        return (jnp.where(better, ct, bt), jnp.where(better, ci, bi)), None
+
+    init = (jnp.full((r,), INF), jnp.full((r,), 2**30, jnp.int32))
+    xs = (
+        amin.reshape(n_chunks, chunk, 3),
+        amax.reshape(n_chunks, chunk, 3),
+        m.reshape(n_chunks, chunk),
+        jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
+    )
+    (nt, ni), _ = jax.lax.scan(body, init, xs)
+    return nt, jnp.where(nt < INF, ni, -1)
+
+
 def _next_candidate(entry, last_t, last_id):
     """Per ray: the lexicographically smallest (entry_t, id) strictly after
     (last_t, last_id) — rays inside several AABBs see equal entry times, so
@@ -201,14 +271,29 @@ def _two_level_pass(
     The (R, I) slab test runs ONCE per traversal (hoisted out of the round
     loop as an XLA loop constant): ``t_best`` only ever decreases, so every
     later round's candidate set is the initial entry table masked by the
-    current best hit — no recompute."""
+    current best hit — no recompute. Above ``_DENSE_I_MAX`` instances the
+    hoisted (R, I) table would not fit; candidate selection switches to the
+    chunked ``_scan_candidate`` (same semantics, (R, chunk) working set)."""
     r = origin.shape[0]
-    entry0 = _instance_slab(accel.inst, origin, direction, t_max, inst_mask)
+    n_inst = accel.inst.aabb_min.shape[0]
+    use_scan = (
+        n_inst > _DENSE_I_MAX or os.environ.get("VKRT_TLAS_SCAN") == "1"
+    )
+    if not use_scan:
+        entry0 = _instance_slab(accel.inst, origin, direction, t_max, inst_mask)
+
+    def _candidate(t_best, last_t, last_id):
+        if use_scan:
+            return _scan_candidate(
+                accel.inst, origin, direction, t_best, last_t, last_id,
+                inst_mask,
+            )
+        entry = jnp.where(entry0 < t_best[:, None], entry0, INF)
+        return _next_candidate(entry, last_t, last_id)
 
     def round_body(carry):
         t_best, tri, u, v, ibest, seed, last_t, last_id, steps, _ = carry
-        entry = jnp.where(entry0 < t_best[:, None], entry0, INF)
-        nt, nid = _next_candidate(entry, last_t, last_id)
+        nt, nid = _candidate(t_best, last_t, last_id)
         has = act & (nid >= 0)
         if any_hit_mode:
             has = has & (tri < 0)  # stop after any accepted hit
@@ -238,8 +323,7 @@ def _two_level_pass(
         last_id = jnp.where(has, nid, last_id)
         steps = steps + hit.steps + has.astype(jnp.int32)
         # Another round is needed if any lane could still have a candidate.
-        entry2 = jnp.where(entry0 < t_best[:, None], entry0, INF)
-        nt2, nid2 = _next_candidate(entry2, last_t, last_id)
+        nt2, nid2 = _candidate(t_best, last_t, last_id)
         more = act & (nid2 >= 0)
         if any_hit_mode:
             more = more & (tri < 0)
