@@ -276,8 +276,9 @@ render_pool = functools.partial(
 
 # Pooled-dispatch sizing: paths per device program (watchdog bound) and the
 # lane-pool width (VMEM/HBM state is ~200 B/lane + the traversal stack).
-MAX_PATHS_PER_DISPATCH = 1 << 21
-POOL_LANES = 1 << 19
+# Env-overridable for hardware tuning sweeps (scripts/ablate.py).
+MAX_PATHS_PER_DISPATCH = int(os.environ.get("VKRT_DISPATCH", 1 << 21))
+POOL_LANES = int(os.environ.get("VKRT_POOL", 1 << 19))
 
 
 def render_frame_impl(
