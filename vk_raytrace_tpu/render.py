@@ -134,11 +134,13 @@ def build_instanced_scene(
     ``instances`` an :class:`models.instances.InstanceTable`; the TLAS/BLAS
     structure is built here (accelstruct.cpp:55-162 analog)."""
     from .integrator.shade import build_shade_rows
+    from .ops.texture import build_tap_rows
     from .ops.tlas import build_instanced_accel
 
     accel = build_instanced_accel(pool, instances)
     if n_lights is None:
         n_lights = int(np.count_nonzero(np.asarray(lights.intensity) > 0.0))
+    use_tap_rows = os.environ.get("VKRT_TAPROWS", "1") != "0"
     return SceneData(
         geometry=pool.geometry,
         materials=materials,
@@ -151,6 +153,11 @@ def build_instanced_scene(
         bvh=None,
         instances=accel,
         shade_rows=build_shade_rows(pool.geometry),
+        tap_rows=(
+            build_tap_rows(atlas)
+            if (atlas is not None and use_tap_rows)
+            else None
+        ),
     )
 
 
