@@ -46,9 +46,15 @@ class InstancedAccel(NamedTuple):
     blas: WideScene          # concatenated per-mesh row tables
     mesh_root: jax.Array     # (M,) i32 absolute root row of each mesh
     inst: InstanceTable
-    # Planar copy for the fused Pallas BLAS traversal (per-lane roots);
-    # used for the opaque path when no alpha machinery is needed.
+    # Planar table for the fused Pallas BLAS traversal (per-lane roots);
+    # used for the opaque path when no alpha machinery is needed. Built
+    # natively at the production width (16/32-wide — ops/traverse_fused.py
+    # ``planar_width``) with its own root table when the native builder is
+    # available; falls back to a planarized copy of the 8-wide table.
     blas_planar: object | None = None
+    # (M,) i32 root rows of ``blas_planar`` (differs from ``mesh_root``
+    # when the planar table is the native wide build).
+    mesh_root_planar: jax.Array | None = None
     # (I,) bool: instance's mesh contains >=1 alpha-flagged triangle. With
     # an alpha_ctx the traversal splits: all-opaque instances ride the
     # fused kernel, alpha-carrying ones the XLA body in a window pruned by
@@ -72,6 +78,26 @@ def _classify_interior(rows: np.ndarray) -> np.ndarray:
         for c in range(8):
             if row[c * 6] <= row[c * 6 + 3]:
                 ref = int(row[48 + c])
+                if ref >= 0:
+                    stack.append(ref)
+    return interior
+
+
+def _classify_interior_planar(rows: np.ndarray, width: int) -> np.ndarray:
+    """Interior-row mask for the native planar layout (bounds at lanes
+    ``[k*width + c]``, refs at ``[6*width + c]``; runtime/native.cpp)."""
+    n = len(rows)
+    interior = np.zeros(n, bool)
+    stack = [0]
+    while stack:
+        rid = stack.pop()
+        if interior[rid]:
+            continue
+        interior[rid] = True
+        row = rows[rid]
+        for c in range(width):
+            if row[c] <= row[3 * width + c]:      # min.x <= max.x: occupied
+                ref = int(row[6 * width + c])
                 if ref >= 0:
                     stack.append(ref)
     return interior
@@ -123,7 +149,7 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
         tables.append(rows)
     runtime._check_ref_ceiling(base, 4)  # combined table shares one ref space
     all_rows = np.concatenate(tables, axis=0)
-    from .traverse_fused import planarize
+    from .traverse_fused import PlanarScene, planar_width, planarize
 
     mesh_alpha = np.zeros(n_mesh, bool)
     for m in range(n_mesh):
@@ -131,11 +157,57 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
         cnt = int(pool.tri_count[m])
         mesh_alpha[m] = bool(np.any(flg[lo:lo + cnt] & 2))
     blas = WideScene(rows=all_rows, stack_depth=depth)
+
+    # Fused-path BLAS at the production width (16-wide 512B rows trace ~1.4x
+    # fewer steps than 8-wide for the same flat per-row gather cost): native
+    # per-mesh planar builds concatenated with planar-layout ref fixups.
+    # Interior refs are row ids (+pbase); leaf refs encode
+    # -(leaf_row*8 + cnt) (native.cpp build_bvh16), so they shift by 8*pbase.
+    pw = planar_width()
+    ptables, proots = [], []
+    pbase, pdepth = 0, 1
+    for m in range(n_mesh):
+        lo = int(pool.tri_start[m])
+        cnt = int(pool.tri_count[m])
+        sl = slice(lo, lo + cnt)
+        ids = np.arange(lo, lo + cnt, dtype=np.int32)
+        out = runtime.build_planar_rows(
+            pos, idx[sl], uvs, flg[sl], tri_ids=ids, width=pw
+        )
+        if out is None:
+            ptables = None
+            break
+        prow, pd = out
+        prow = np.asarray(prow)
+        pdepth = max(pdepth, pd)
+        if pbase:
+            p_int = _classify_interior_planar(prow, pw)
+            valid = prow[:, 0:pw] <= prow[:, 3 * pw : 4 * pw]
+            refs = prow[:, 6 * pw : 7 * pw]
+            fixed = np.where(refs >= 0, refs + pbase, refs - 8 * pbase)
+            prow[:, 6 * pw : 7 * pw] = np.where(
+                p_int[:, None] & valid, fixed, refs
+            )
+        proots.append(pbase)
+        pbase += len(prow)
+        ptables.append(prow)
+    if ptables is not None:
+        runtime._check_ref_ceiling(pbase, 8)
+        planar = PlanarScene(
+            rows=np.concatenate(ptables, axis=0),
+            stack_depth=pdepth,
+            width=pw,
+        )
+        planar_roots = np.asarray(proots, np.int32)
+    else:  # no native builder: planarized copy of the 8-wide table
+        planar = planarize(blas, roots=roots)
+        planar_roots = np.asarray(roots, np.int32)
     return InstancedAccel(
         blas=blas,
         mesh_root=np.asarray(roots, np.int32),
         inst=inst,
-        blas_planar=planarize(blas, roots=roots),
+        blas_planar=planar,
+        mesh_root_planar=planar_roots,
         inst_alpha=mesh_alpha[np.asarray(inst.mesh_id)],
     )
 
@@ -298,20 +370,26 @@ def _two_level_pass(
         if any_hit_mode:
             has = has & (tri < 0)  # stop after any accepted hit
         o_obj, d_obj = _transform_rays(accel.inst, nid, origin, direction)
-        root = accel.mesh_root[accel.inst.mesh_id[jnp.maximum(nid, 0)]]
+        mesh = accel.inst.mesh_id[jnp.maximum(nid, 0)]
         from . import traverse_fused as tf_
 
         if use_fused:
+            roots_tbl = (
+                accel.mesh_root_planar
+                if accel.mesh_root_planar is not None
+                else accel.mesh_root
+            )
             hit = tf_._traverse_fused(
                 accel.blas_planar, o_obj, d_obj, t_best,
                 cull_backface=cull_backface, any_hit_mode=any_hit_mode,
-                active_in=has, root0=root,
+                active_in=has, root0=roots_tbl[mesh],
             )
         else:
             hit, seed = _traverse_wide(
                 accel.blas, tri_material, o_obj, d_obj, t_best, seed,
                 alpha_ctx, cull_backface=cull_backface,
-                any_hit_mode=any_hit_mode, active_in=has, root0=root,
+                any_hit_mode=any_hit_mode, active_in=has,
+                root0=accel.mesh_root[mesh],
             )
         upd = has & (hit.tri >= 0)
         t_best = jnp.where(upd, hit.t, t_best)
