@@ -330,3 +330,28 @@ class TestScanCandidate:
         inst_ids = np.asarray(hit.inst)
         want = ys.ravel() * side + zs.ravel()  # add_instance order: ix major
         np.testing.assert_array_equal(inst_ids, want)
+
+
+def test_width32_instanced_matches_width16(monkeypatch):
+    """VKRT_WIDE=32 instanced BLAS: the planar leaf-ref fixup factor is
+    width/2 (native.cpp make_leaf leaf_code = row*kLeafMax + cnt-1), so a
+    multi-mesh pool at width 32 must produce identical hits to width 16
+    (regression: the fixup once hard-coded the width-16 factor 8)."""
+    pool, inst, baked = _build_both()
+    o, d = _rays(n=1024, seed=21)
+
+    accel16 = build_instanced_accel(pool, inst)
+    hit16, _ = closest_hit_instanced(accel16, pool.geometry.tri_material, o, d)
+
+    monkeypatch.setenv("VKRT_WIDE", "32")
+    accel32 = build_instanced_accel(pool, inst)
+    assert accel32.blas_planar.width == 32
+    hit32, _ = closest_hit_instanced(accel32, pool.geometry.tri_material, o, d)
+
+    np.testing.assert_array_equal(np.asarray(hit16.tri), np.asarray(hit32.tri))
+    np.testing.assert_array_equal(
+        np.asarray(hit16.inst), np.asarray(hit32.inst)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit16.t), np.asarray(hit32.t), rtol=1e-6
+    )

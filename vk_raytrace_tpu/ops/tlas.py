@@ -85,21 +85,20 @@ def _classify_interior(rows: np.ndarray) -> np.ndarray:
 
 def _classify_interior_planar(rows: np.ndarray, width: int) -> np.ndarray:
     """Interior-row mask for the native planar layout (bounds at lanes
-    ``[k*width + c]``, refs at ``[6*width + c]``; runtime/native.cpp)."""
+    ``[k*width + c]``, refs at ``[6*width + c]``; runtime/native.cpp).
+    Vectorized frontier BFS (the planar-layout analog of
+    ``traverse_fused._interior_mask``)."""
     n = len(rows)
+    valid = rows[:, 0:width] <= rows[:, 3 * width : 4 * width]
+    refs = rows[:, 6 * width : 7 * width]
     interior = np.zeros(n, bool)
-    stack = [0]
-    while stack:
-        rid = stack.pop()
-        if interior[rid]:
-            continue
-        interior[rid] = True
-        row = rows[rid]
-        for c in range(width):
-            if row[c] <= row[3 * width + c]:      # min.x <= max.x: occupied
-                ref = int(row[6 * width + c])
-                if ref >= 0:
-                    stack.append(ref)
+    frontier = np.asarray([0], np.int64)
+    while frontier.size:
+        interior[frontier] = True
+        r = refs[frontier]
+        kids = r[valid[frontier] & (r >= 0.5)].astype(np.int64)
+        kids = np.unique(kids)
+        frontier = kids[~interior[kids]]
     return interior
 
 
@@ -184,7 +183,10 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
             p_int = _classify_interior_planar(prow, pw)
             valid = prow[:, 0:pw] <= prow[:, 3 * pw : 4 * pw]
             refs = prow[:, 6 * pw : 7 * pw]
-            fixed = np.where(refs >= 0, refs + pbase, refs - 8 * pbase)
+            # Leaf refs encode -(row*kLeafMax + cnt-1 + 1) with
+            # kLeafMax = width/2 (native.cpp make_leaf), so shifting the
+            # leaf row by pbase shifts the ref by pbase*(width/2).
+            fixed = np.where(refs >= 0, refs + pbase, refs - (pw // 2) * pbase)
             prow[:, 6 * pw : 7 * pw] = np.where(
                 p_int[:, None] & valid, fixed, refs
             )
@@ -192,7 +194,7 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
         pbase += len(prow)
         ptables.append(prow)
     if ptables is not None:
-        runtime._check_ref_ceiling(pbase, 8)
+        runtime._check_ref_ceiling(pbase, pw // 2)
         planar = PlanarScene(
             rows=np.concatenate(ptables, axis=0),
             stack_depth=pdepth,
@@ -250,8 +252,6 @@ def _scan_candidate(
     (last_t, last_id) with entry_t < t_best — computed by a chunked
     ``lax.scan`` over the instance table, never materializing (R, I).
     Semantics identical to ``_next_candidate`` over ``_instance_slab``."""
-    import numpy as np  # chunk/pad shapes are static
-
     n = inst.aabb_min.shape[0]
     chunk = min(_SCAN_CHUNK, max(int(np.rint(2 ** np.ceil(np.log2(max(n, 1))))), 1))
     pad = (-n) % chunk
@@ -363,12 +363,18 @@ def _two_level_pass(
         entry = jnp.where(entry0 < t_best[:, None], entry0, INF)
         return _next_candidate(entry, last_t, last_id)
 
-    def round_body(carry):
-        t_best, tri, u, v, ibest, seed, last_t, last_id, steps, _ = carry
-        nt, nid = _candidate(t_best, last_t, last_id)
+    def _has_mask(tri, nid):
         has = act & (nid >= 0)
         if any_hit_mode:
             has = has & (tri < 0)  # stop after any accepted hit
+        return has
+
+    # The candidate for round k is computed at the END of round k-1 (and
+    # once before the loop), so each round runs candidate selection once —
+    # the loop condition just inspects the carried result.
+    def round_body(carry):
+        t_best, tri, u, v, ibest, seed, last_t, last_id, steps, nt, nid = carry
+        has = _has_mask(tri, nid)
         o_obj, d_obj = _transform_rays(accel.inst, nid, origin, direction)
         mesh = accel.inst.mesh_id[jnp.maximum(nid, 0)]
         from . import traverse_fused as tf_
@@ -400,13 +406,12 @@ def _two_level_pass(
         last_t = jnp.where(has, nt, last_t)
         last_id = jnp.where(has, nid, last_id)
         steps = steps + hit.steps + has.astype(jnp.int32)
-        # Another round is needed if any lane could still have a candidate.
         nt2, nid2 = _candidate(t_best, last_t, last_id)
-        more = act & (nid2 >= 0)
-        if any_hit_mode:
-            more = more & (tri < 0)
-        return t_best, tri, u, v, ibest, seed, last_t, last_id, steps, jnp.any(more)
+        return t_best, tri, u, v, ibest, seed, last_t, last_id, steps, nt2, nid2
 
+    nt0, nid0 = _candidate(
+        t_max, jnp.full((r,), _NEG), jnp.full((r,), -1, jnp.int32)
+    )
     init = (
         t_max,
         jnp.full((r,), -1, jnp.int32),
@@ -417,10 +422,13 @@ def _two_level_pass(
         jnp.full((r,), _NEG),
         jnp.full((r,), -1, jnp.int32),
         jnp.zeros((r,), jnp.int32),
-        jnp.asarray(True),
+        nt0,
+        nid0,
     )
-    out = jax.lax.while_loop(lambda c: c[-1], round_body, init)
-    t_best, tri, u, v, ibest, seed, _, _, steps, _ = out
+    out = jax.lax.while_loop(
+        lambda c: jnp.any(_has_mask(c[1], c[10])), round_body, init
+    )
+    t_best, tri, u, v, ibest, seed, _, _, steps = out[:9]
     return t_best, tri, u, v, ibest, seed, steps
 
 
