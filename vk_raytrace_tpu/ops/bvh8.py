@@ -279,6 +279,31 @@ def _with_planar(
     return bundle._replace(opaque_planar=planar)
 
 
+_BUILDER_DIGEST = None
+
+
+def _builder_digest() -> str:
+    """Content hash of the native builder source, so accel caches miss when
+    the builder changes (split policy, presplitting, row format)."""
+    global _BUILDER_DIGEST
+    if _BUILDER_DIGEST is None:
+        import hashlib
+        import os
+
+        src = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "runtime", "native.cpp",
+        )
+        try:
+            with open(src, "rb") as f:
+                _BUILDER_DIGEST = hashlib.blake2b(
+                    f.read(), digest_size=10
+                ).hexdigest()
+        except OSError:
+            _BUILDER_DIGEST = "nosrc"
+    return _BUILDER_DIGEST
+
+
 def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBundle:
     """Split the scene by the per-triangle alpha flag and build the wide
     structure(s). Prefers the native SAH builder; falls back to the device
@@ -292,8 +317,10 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
     key = _cache.content_key(
         # Keyed by the fused-row width policy too: a cached 16-wide bundle
         # must not serve a VKRT_WIDE=32 run (see traverse_fused.planar_width).
+        # And by the builder source digest: a builder change (split policy,
+        # row format) must invalidate every cached tree.
         "accel-v2", geom.positions, geom.indices, geom.uv, geom.tri_flags,
-        f"w{planar_width()}"
+        f"w{planar_width()}", _builder_digest(),
     )
     hit = _cache.load(key)
     if hit is not None:

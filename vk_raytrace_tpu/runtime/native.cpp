@@ -319,70 +319,67 @@ inline float make_leaf(Ctx& c, int64_t lo, int64_t hi) {
   return float(-(leaf_code + 1));
 }
 
-// Binned-SAH split of prim[lo, hi) -> mid. Falls back to a median split on
-// degenerate centroid distributions. Both sides guaranteed non-empty.
+// Binned-SAH split of prim[lo, hi) -> mid, evaluated on ALL THREE axes
+// (largest-extent-only missed ~5-10%-better splits on architectural scenes
+// — measured by scripts/stepcount.py rows/ray). Falls back to a median
+// split on degenerate centroid distributions. Both sides non-empty.
 inline int64_t split_range(Ctx& c, int64_t lo, int64_t hi) {
   BBox cb;
   cb.reset();
   for (int64_t i = lo; i < hi; ++i) cb.grow(&c.cent[size_t(c.prim[size_t(i)]) * 3]);
-  int axis = 0;
-  float ext = -1.0f;
-  for (int k = 0; k < 3; ++k) {
-    const float e = cb.mx[k] - cb.mn[k];
-    if (e > ext) { ext = e; axis = k; }
-  }
   const int64_t median = lo + (hi - lo) / 2;
-  if (ext <= 1e-20f) {  // all centroids coincide
+
+  float best = kInvalid;
+  int best_axis = -1;
+  int best_split = -1;
+  for (int axis = 0; axis < 3; ++axis) {
+    const float ext = cb.mx[axis] - cb.mn[axis];
+    if (ext <= 1e-20f) continue;
+    BBox bb[kBins];
+    int64_t bc[kBins] = {0};
+    for (int b = 0; b < kBins; ++b) bb[b].reset();
+    const float scale = kBins / ext;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int32_t p = c.prim[size_t(i)];
+      int b = int((c.cent[size_t(p) * 3 + axis] - cb.mn[axis]) * scale);
+      b = std::min(std::max(b, 0), kBins - 1);
+      bb[b].grow(c.tbox[size_t(p)]);
+      ++bc[b];
+    }
+    // Suffix sweep then prefix sweep for SAH cost at each of kBins-1 splits.
+    float rarea[kBins];
+    int64_t rcount[kBins];
+    BBox acc;
+    acc.reset();
+    int64_t cnt = 0;
+    for (int b = kBins - 1; b > 0; --b) {
+      acc.grow(bb[b]);
+      cnt += bc[b];
+      rarea[b] = acc.area();
+      rcount[b] = cnt;
+    }
+    acc.reset();
+    cnt = 0;
+    for (int b = 0; b < kBins - 1; ++b) {
+      acc.grow(bb[b]);
+      cnt += bc[b];
+      if (cnt == 0 || rcount[b + 1] == 0) continue;
+      const float cost =
+          acc.area() * float(cnt) + rarea[b + 1] * float(rcount[b + 1]);
+      if (cost < best) { best = cost; best_axis = axis; best_split = b; }
+    }
+  }
+  if (best_axis < 0) {  // degenerate: all centroids coincide on every axis
     std::nth_element(c.prim.begin() + lo, c.prim.begin() + median,
                      c.prim.begin() + hi);
     return median;
   }
-
-  BBox bb[kBins];
-  int64_t bc[kBins] = {0};
-  for (int b = 0; b < kBins; ++b) bb[b].reset();
-  const float scale = kBins / ext;
+  const int axis = best_axis;
+  const float scale = kBins / (cb.mx[axis] - cb.mn[axis]);
   auto bin_of = [&](int32_t p) {
     int b = int((c.cent[size_t(p) * 3 + axis] - cb.mn[axis]) * scale);
     return std::min(std::max(b, 0), kBins - 1);
   };
-  for (int64_t i = lo; i < hi; ++i) {
-    const int32_t p = c.prim[size_t(i)];
-    const int b = bin_of(p);
-    bb[b].grow(c.tbox[size_t(p)]);
-    ++bc[b];
-  }
-  // Suffix sweep then prefix sweep for SAH cost at each of kBins-1 splits.
-  float rarea[kBins];
-  int64_t rcount[kBins];
-  BBox acc;
-  acc.reset();
-  int64_t cnt = 0;
-  for (int b = kBins - 1; b > 0; --b) {
-    acc.grow(bb[b]);
-    cnt += bc[b];
-    rarea[b] = acc.area();
-    rcount[b] = cnt;
-  }
-  acc.reset();
-  cnt = 0;
-  float best = kInvalid;
-  int best_split = -1;
-  for (int b = 0; b < kBins - 1; ++b) {
-    acc.grow(bb[b]);
-    cnt += bc[b];
-    if (cnt == 0 || rcount[b + 1] == 0) continue;
-    const float cost = acc.area() * float(cnt) + rarea[b + 1] * float(rcount[b + 1]);
-    if (cost < best) { best = cost; best_split = b; }
-  }
-  if (best_split < 0) {
-    auto key = [&](int32_t a, int32_t b2) {
-      return c.cent[size_t(a) * 3 + axis] < c.cent[size_t(b2) * 3 + axis];
-    };
-    std::nth_element(c.prim.begin() + lo, c.prim.begin() + median,
-                     c.prim.begin() + hi, key);
-    return median;
-  }
   auto it = std::partition(c.prim.begin() + lo, c.prim.begin() + hi,
                            [&](int32_t p) { return bin_of(p) <= best_split; });
   int64_t mid = it - c.prim.begin();
@@ -406,17 +403,30 @@ inline float make_interior(Ctx& c, int64_t lo, int64_t hi) {
   int n_parts = 1;
   parts[0] = lo;
   parts[1] = hi;
+  float metric[8];  // SAH pick priority: bounds area x count (see wplanar)
+  auto part_metric = [&](int64_t a, int64_t b) {
+    if (b - a <= kLeafMax) return -1.0f;
+    BBox bx;
+    bx.reset();
+    for (int64_t i = a; i < b; ++i) bx.grow(c.tbox[size_t(c.prim[size_t(i)])]);
+    return bx.area() * float(b - a);
+  };
+  metric[0] = part_metric(lo, hi);
   while (n_parts < 8) {
     int pick = -1;
-    int64_t largest = kLeafMax;
+    float best = 0.0f;
     for (int i = 0; i < n_parts; ++i) {
-      const int64_t sz = parts[i + 1] - parts[i];
-      if (sz > largest) { largest = sz; pick = i; }
+      if (metric[i] > best) { best = metric[i]; pick = i; }
     }
     if (pick < 0) break;
     const int64_t mid = split_range(c, parts[pick], parts[pick + 1]);
-    for (int i = n_parts; i > pick; --i) parts[i + 1] = parts[i];
+    for (int i = n_parts; i > pick; --i) {
+      parts[i + 1] = parts[i];
+      metric[i] = metric[i - 1];
+    }
     parts[pick + 1] = mid;
+    metric[pick] = part_metric(parts[pick], mid);
+    metric[pick + 1] = part_metric(mid, parts[pick + 2]);
     ++n_parts;
   }
 
@@ -562,20 +572,36 @@ inline float make_interior(Ctx& c, int64_t lo, int64_t hi, int32_t& need) {
   constexpr int kLanes = kWidth * 8;
   constexpr int kLeafMax = kWidth / 2;
   int64_t parts[kWidth + 1];
+  float metric[kWidth];  // SAH pick priority: bounds area x count
   int n_parts = 1;
   parts[0] = lo;
   parts[1] = hi;
+  // Split the partition with the largest area*count (SAH subtree cost),
+  // not the largest count — big flat pieces get cut before dense small
+  // ones, which measurably tightens sibling bounds (scripts/stepcount.py).
+  auto part_metric = [&](int64_t a, int64_t b) {
+    if (b - a <= kLeafMax) return -1.0f;  // leaf-sized: never split
+    BBox bx;
+    bx.reset();
+    for (int64_t i = a; i < b; ++i) bx.grow(c.tbox[size_t(c.prim[size_t(i)])]);
+    return bx.area() * float(b - a);
+  };
+  metric[0] = part_metric(lo, hi);
   while (n_parts < kWidth) {
     int pick = -1;
-    int64_t largest = kLeafMax;
+    float best = 0.0f;
     for (int i = 0; i < n_parts; ++i) {
-      const int64_t sz = parts[i + 1] - parts[i];
-      if (sz > largest) { largest = sz; pick = i; }
+      if (metric[i] > best) { best = metric[i]; pick = i; }
     }
     if (pick < 0) break;
     const int64_t mid = wbvh::split_range(c, parts[pick], parts[pick + 1]);
-    for (int i = n_parts; i > pick; --i) parts[i + 1] = parts[i];
+    for (int i = n_parts; i > pick; --i) {
+      parts[i + 1] = parts[i];
+      metric[i] = metric[i - 1];
+    }
     parts[pick + 1] = mid;
+    metric[pick] = part_metric(parts[pick], mid);
+    metric[pick + 1] = part_metric(mid, parts[pick + 2]);
     ++n_parts;
   }
 
