@@ -22,6 +22,7 @@ wide-node set, then row packing. Integer refs are stored as exact f32 values
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -321,6 +322,7 @@ def build_accel_bundle(geom: Geometry, bvh_full: BVH | None = None) -> AccelBund
         # row format) must invalidate every cached tree.
         "accel-v2", geom.positions, geom.indices, geom.uv, geom.tri_flags,
         f"w{planar_width()}", _builder_digest(),
+        f"ps{os.environ.get('VKRT_PRESPLIT', '0')}",
     )
     hit = _cache.load(key)
     if hit is not None:

@@ -268,6 +268,7 @@ def build_planar_rows(
     tri_flags: np.ndarray,
     tri_ids: np.ndarray | None = None,
     width: int = 16,
+    presplit: float | None = None,
 ) -> tuple[np.ndarray, int] | None:
     """Native binned-SAH build of ``width``-wide PLANAR rows consumed by the
     fused Pallas traversal (ops/traverse_fused.py). Returns
@@ -294,15 +295,21 @@ def build_planar_rows(
         ids_arg = _ptr(tri_ids)
         max_orig = int(tri_ids.max(initial=0))
     _check_id_ceiling(max_orig)
+    if presplit is None:
+        presplit = float(os.environ.get("VKRT_PRESPLIT", "0"))
     fn = lib.build_bvh16 if width == 16 else lib.build_bvh32
     leaf = width // 2
     depth = ctypes.c_int32(0)
-    for max_rows in (t // (leaf // 2) + t // leaf + 16, t + 8):
+    # Presplitting emits up to presplit*t extra fragments; leaves dedup, so
+    # the fragment count bounds rows the same way triangles do.
+    f = t + int(presplit * t) + 1
+    for max_rows in (f // (leaf // 2) + f // leaf + 16, f + 8):
         rows = np.empty((max_rows, width * 8), np.float32)
         n = fn(
             _ptr(positions), _ptr(indices), _ptr(uv), ids_arg,
             _ptr(tri_flags), ctypes.c_int64(t), _ptr(rows),
             ctypes.c_int64(max_rows), ctypes.byref(depth),
+            ctypes.c_float(presplit),
         )
         if n > 0:
             _check_ref_ceiling(n, leaf)

@@ -11,6 +11,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <queue>
 #include <vector>
 
 extern "C" {
@@ -282,6 +283,8 @@ struct Ctx {
   std::vector<BBox> tbox;
   std::vector<float> cent;  // (T, 3)
   std::vector<int32_t> prim;
+  const int32_t* frag = nullptr;  // fragment -> triangle map (presplitting);
+                                  // null when prim entries ARE triangle ids
   float* rows;
   int64_t max_rows;
   int64_t n_rows = 0;
@@ -539,15 +542,35 @@ inline int64_t alloc_row(Ctx& c) {
   return c.n_rows++;
 }
 
+// Unique triangles of prim[lo, hi): with presplitting several fragments of
+// one triangle can land in the same leaf range; the leaf stores the tri once.
+template <int kWidth>
+inline int unique_tris(const Ctx& c, int64_t lo, int64_t hi, int32_t* out,
+                       int cap) {
+  int n = 0;
+  for (int64_t i = lo; i < hi; ++i) {
+    const int32_t p = c.prim[size_t(i)];
+    const int32_t tri = c.frag ? c.frag[p] : p;
+    bool seen = false;
+    for (int j = 0; j < n; ++j)
+      if (out[j] == tri) { seen = true; break; }
+    if (seen) continue;
+    if (n >= cap) return cap + 1;  // too many: caller must split further
+    out[n++] = tri;
+  }
+  return n;
+}
+
 template <int kWidth>
 inline float make_leaf(Ctx& c, int64_t lo, int64_t hi) {
   constexpr int kLanes = kWidth * 8;
   constexpr int kLeafMax = kWidth / 2;
   const int64_t row = alloc_row<kWidth>(c);
   float* r = c.rows + row * kLanes;
-  const int cnt = int(hi - lo);
+  int32_t tris[kLeafMax];
+  const int cnt = unique_tris<kWidth>(c, lo, hi, tris, kLeafMax);
   for (int j = 0; j < cnt; ++j) {
-    const int32_t p = c.prim[size_t(lo + j)];
+    const int32_t p = tris[j];
     for (int v = 0; v < 3; ++v) {
       const int32_t vi = c.idx[p * 3 + v];
       r[(v * 3 + 0) * kLeafMax + j] = c.pos[vi * 3 + 0];
@@ -637,11 +660,59 @@ float build_node(Ctx& c, int64_t lo, int64_t hi, BBox& out, int32_t& need,
   out.reset();
   for (int64_t i = lo; i < hi; ++i) out.grow(c.tbox[size_t(c.prim[size_t(i)])]);
   if (c.overflow) return 0.0f;
-  if (!force_interior && hi - lo <= kWidth / 2) {
-    need = 0;
-    return make_leaf<kWidth>(c, lo, hi);
+  constexpr int kLeafMax = kWidth / 2;
+  if (!force_interior) {
+    if (hi - lo <= kLeafMax) {
+      need = 0;
+      return make_leaf<kWidth>(c, lo, hi);
+    }
+    // Presplit fragments of one triangle dedup at leaf emission, so a
+    // larger fragment range can still be a single-row leaf.
+    if (c.frag && hi - lo <= 3 * kLeafMax) {
+      int32_t tmp[kLeafMax];
+      if (unique_tris<kWidth>(c, lo, hi, tmp, kLeafMax) <= kLeafMax) {
+        need = 0;
+        return make_leaf<kWidth>(c, lo, hi);
+      }
+    }
   }
   return make_interior<kWidth>(c, lo, hi, need);
+}
+
+// Clip triangle `tri` against the half-space {x[axis] <= mid} (below) or
+// {x[axis] >= mid} (!below); returns the clipped polygon's bbox intersected
+// with the parent fragment box. Invalid (reset) bbox if the clip is empty.
+inline wbvh::BBox clip_tri_box(const float* pos, const int32_t* idx,
+                               int32_t tri, const wbvh::BBox& pb, int axis,
+                               float mid, bool below) {
+  float p[3][3];
+  for (int v = 0; v < 3; ++v)
+    for (int k = 0; k < 3; ++k)
+      p[v][k] = pos[size_t(idx[tri * 3 + v]) * 3 + k];
+  wbvh::BBox out;
+  out.reset();
+  int n_emit = 0;
+  for (int i = 0; i < 3; ++i) {
+    const float* a = p[i];
+    const float* b = p[(i + 1) % 3];
+    const float da = below ? mid - a[axis] : a[axis] - mid;
+    const float db = below ? mid - b[axis] : b[axis] - mid;
+    if (da >= 0.0f) { out.grow(a); ++n_emit; }
+    if ((da >= 0.0f) != (db >= 0.0f)) {
+      const float t = da / (da - db);
+      float q[3];
+      for (int k = 0; k < 3; ++k) q[k] = a[k] + t * (b[k] - a[k]);
+      out.grow(q);
+      ++n_emit;
+    }
+  }
+  if (n_emit < 3) { out.reset(); return out; }
+  for (int k = 0; k < 3; ++k) {
+    out.mn[k] = std::max(out.mn[k], pb.mn[k]);
+    out.mx[k] = std::min(out.mx[k], pb.mx[k]);
+    if (out.mn[k] > out.mx[k]) { out.reset(); return out; }
+  }
+  return out;
 }
 
 template <int kWidth>
@@ -649,7 +720,7 @@ int64_t build_planar(const float* positions, const int32_t* indices,
                      const float* uv, const int32_t* tri_ids,
                      const int32_t* tri_flags, int64_t n_tris,
                      float* rows_out, int64_t max_rows,
-                     int32_t* stack_depth_out) {
+                     int32_t* stack_depth_out, float presplit) {
   if (n_tris < 1 || max_rows < 2) return -1;
   wbvh::Ctx c;
   c.pos = positions;
@@ -660,13 +731,61 @@ int64_t build_planar(const float* positions, const int32_t* indices,
   c.n_tris = n_tris;
   c.rows = rows_out;
   c.max_rows = max_rows;
-  c.tbox.resize(size_t(n_tris));
-  c.cent.resize(size_t(n_tris) * 3);
-  c.prim.resize(size_t(n_tris));
+  std::vector<wbvh::BBox> tbox(static_cast<size_t>(n_tris));
   for (int64_t t = 0; t < n_tris; ++t) {
-    wbvh::BBox& b = c.tbox[size_t(t)];
+    wbvh::BBox& b = tbox[size_t(t)];
     b.reset();
     for (int v = 0; v < 3; ++v) b.grow(positions + size_t(indices[t * 3 + v]) * 3);
+  }
+
+  // SBVH-style presplitting: big flat triangles (architectural floors,
+  // walls) get their bounds split at the longest-axis midpoint with a true
+  // polygon clip, so sibling subtree bounds stop overlapping them. Budget
+  // is `presplit * n_tris` extra fragments, spent largest-box-first.
+  std::vector<int32_t> frag_tri;
+  int64_t budget = presplit > 0.0f ? int64_t(presplit * float(n_tris)) : 0;
+  if (budget > 0) {
+    frag_tri.resize(size_t(n_tris));
+    std::priority_queue<std::pair<float, int64_t>> heap;
+    for (int64_t t = 0; t < n_tris; ++t) {
+      frag_tri[size_t(t)] = int32_t(t);
+      const float a = tbox[size_t(t)].area();
+      if (a > 0.0f) heap.push({a, t});
+    }
+    while (budget > 0 && !heap.empty()) {
+      const int64_t f = heap.top().second;
+      heap.pop();
+      const wbvh::BBox pb = tbox[size_t(f)];
+      int axis = 0;
+      float ext = -1.0f;
+      for (int k = 0; k < 3; ++k) {
+        const float e = pb.mx[k] - pb.mn[k];
+        if (e > ext) { ext = e; axis = k; }
+      }
+      if (ext <= 1e-12f) continue;
+      const float mid = 0.5f * (pb.mn[axis] + pb.mx[axis]);
+      const int32_t tri = frag_tri[size_t(f)];
+      const wbvh::BBox bl =
+          clip_tri_box(positions, indices, tri, pb, axis, mid, true);
+      const wbvh::BBox br =
+          clip_tri_box(positions, indices, tri, pb, axis, mid, false);
+      if (bl.mn[0] > bl.mx[0] || br.mn[0] > br.mx[0]) continue;
+      tbox[size_t(f)] = bl;
+      tbox.push_back(br);
+      frag_tri.push_back(tri);
+      heap.push({bl.area(), f});
+      heap.push({br.area(), int64_t(tbox.size()) - 1});
+      --budget;
+    }
+  }
+
+  const int64_t n_prims = int64_t(tbox.size());
+  c.tbox = std::move(tbox);
+  c.frag = frag_tri.empty() ? nullptr : frag_tri.data();
+  c.cent.resize(size_t(n_prims) * 3);
+  c.prim.resize(size_t(n_prims));
+  for (int64_t t = 0; t < n_prims; ++t) {
+    const wbvh::BBox& b = c.tbox[size_t(t)];
     for (int k = 0; k < 3; ++k)
       c.cent[size_t(t) * 3 + k] = 0.5f * (b.mn[k] + b.mx[k]);
     c.prim[size_t(t)] = int32_t(t);
@@ -674,7 +793,7 @@ int64_t build_planar(const float* positions, const int32_t* indices,
   wbvh::BBox root_box;
   int32_t need = 1;
   const float root =
-      build_node<kWidth>(c, 0, n_tris, root_box, need, /*force_interior=*/true);
+      build_node<kWidth>(c, 0, n_prims, root_box, need, /*force_interior=*/true);
   if (c.overflow || root != 0.0f) return -1;
   if (stack_depth_out) *stack_depth_out = std::max(need, 1);
   return c.n_rows;
@@ -686,13 +805,16 @@ extern "C" {
 
 // Returns rows written (row 0 = root) or -1 on overflow; *stack_depth_out
 // receives the exact worst-case traversal stack need of this tree.
+// `presplit` > 0 spends that fraction of n_tris as extra clipped fragments
+// on the largest triangle bounds (SBVH-style; duplicates dedup in leaves).
 int64_t build_bvh16(const float* positions, const int32_t* indices,
                     const float* uv, const int32_t* tri_ids,
                     const int32_t* tri_flags, int64_t n_tris,
                     float* rows_out, int64_t max_rows,
-                    int32_t* stack_depth_out) {
+                    int32_t* stack_depth_out, float presplit) {
   return wplanar::build_planar<16>(positions, indices, uv, tri_ids, tri_flags,
-                                   n_tris, rows_out, max_rows, stack_depth_out);
+                                   n_tris, rows_out, max_rows, stack_depth_out,
+                                   presplit);
 }
 
 // 32-wide / 1024-byte-row variant: half the rows per ray for +14% per-row
@@ -701,9 +823,10 @@ int64_t build_bvh32(const float* positions, const int32_t* indices,
                     const float* uv, const int32_t* tri_ids,
                     const int32_t* tri_flags, int64_t n_tris,
                     float* rows_out, int64_t max_rows,
-                    int32_t* stack_depth_out) {
+                    int32_t* stack_depth_out, float presplit) {
   return wplanar::build_planar<32>(positions, indices, uv, tri_ids, tri_flags,
-                                   n_tris, rows_out, max_rows, stack_depth_out);
+                                   n_tris, rows_out, max_rows, stack_depth_out,
+                                   presplit);
 }
 
 }  // extern "C"
