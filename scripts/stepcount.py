@@ -43,7 +43,8 @@ def primary_rays(scene, width, height, res_w, res_h):
     return np.asarray(o), np.asarray(d)
 
 
-def count_rows(rows: np.ndarray, width: int, o: np.ndarray, d: np.ndarray):
+def count_rows(rows: np.ndarray, width: int, o: np.ndarray, d: np.ndarray,
+               return_t: bool = False):
     """Closest-hit traversal of one planar table; returns rows-fetched per
     ray. Matches the fused kernel's schedule: distance-ordered children,
     pop-time t_best pruning, Moller-Trumbore leaves."""
@@ -53,6 +54,7 @@ def count_rows(rows: np.ndarray, width: int, o: np.ndarray, d: np.ndarray):
     inv_all = np.where(d < 0, -np.abs(inv_all), np.abs(inv_all))
     n_rays = len(o)
     counts = np.zeros(n_rays, np.int32)
+    t_out = np.full(n_rays, np.float32(3.0e38)) if return_t else None
     np.seterr(over="ignore")  # empty slots carry inverted 3e38 AABBs
 
     # Pre-split planes for speed.
@@ -109,13 +111,34 @@ def count_rows(rows: np.ndarray, width: int, o: np.ndarray, d: np.ndarray):
                     if good.any():
                         t_best = t[good].min()
         counts[i] = n_fetch
+        if return_t:
+            t_out[i] = t_best
+    if return_t:
+        return counts, t_out
     return counts
+
+
+def secondary_rays(rows, width, o, d, rng_seed=7):
+    """Diffuse bounce rays: trace primaries, spawn cosine-ish hemisphere
+    directions from the hit points (rays that missed are dropped)."""
+    _, t_best = count_rows(rows, width, o, d, return_t=True)
+    hit = np.isfinite(t_best) & (t_best < 3.0e37)
+    p = o[hit] + d[hit] * t_best[hit][:, None] * 0.999
+    rng = np.random.default_rng(rng_seed)
+    nd = rng.normal(size=(len(p), 3)).astype(np.float32)
+    nd /= np.linalg.norm(nd, axis=1, keepdims=True)
+    # flip to the hemisphere away from the incoming ray
+    flip = (nd * d[hit]).sum(1) > 0
+    nd[flip] *= -1.0
+    return p.astype(np.float32), nd
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="atrium")
     ap.add_argument("--res", default="128x72")
+    ap.add_argument("--secondary", action="store_true",
+                    help="also measure diffuse bounce rays from hit points")
     args = ap.parse_args()
     res_w, res_h = (int(x) for x in args.res.split("x"))
 
@@ -150,6 +173,13 @@ def main():
             f"p95={np.percentile(counts, 95):.1f} max={counts.max()} "
             f"({time.time()-t0:.1f}s)"
         )
+        if args.secondary and name == "opaque_planar":
+            so, sd = secondary_rays(rows, ps.width, o, d)
+            sc = count_rows(rows, ps.width, so, sd)
+            print(
+                f"{name} secondary: rays={len(so)} mean={sc.mean():.2f} "
+                f"median={np.median(sc):.1f} p95={np.percentile(sc, 95):.1f}"
+            )
 
 
 if __name__ == "__main__":
