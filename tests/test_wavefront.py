@@ -116,3 +116,35 @@ def test_pooled_matches_unrolled_compat_mode():
         jnp.asarray(0, jnp.int32), cfg.width * cfg.height, 2048,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_tiered_tail_bitexact():
+    """The tiered tail (full -> pool/4 -> pool/16 staged loops,
+    wavefront.py::compact) must be invisible to the estimator: same paths,
+    same seeds, same unique-unit scatter targets -> bit-identical image."""
+    import os
+
+    scene, packed, cfg = _setup(PBR_GLTF, depth=4)
+    frame = jnp.asarray(3, jnp.int32)
+    n_pix = cfg.width * cfg.height
+
+    def run():
+        img, _steps, rays = render_units_pooled(
+            scene, packed, cfg, frame, False,
+            jnp.asarray(0, jnp.int32), n_pix, 512,
+        )
+        return np.asarray(img), int(rays)
+
+    old = os.environ.get("VKRT_TIERS")
+    try:
+        os.environ["VKRT_TIERS"] = "0"
+        flat_img, flat_rays = run()
+        os.environ["VKRT_TIERS"] = "force"
+        tier_img, tier_rays = run()
+    finally:
+        if old is None:
+            os.environ.pop("VKRT_TIERS", None)
+        else:
+            os.environ["VKRT_TIERS"] = old
+    assert flat_rays == tier_rays
+    np.testing.assert_array_equal(flat_img, tier_img)

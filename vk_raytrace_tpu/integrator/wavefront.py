@@ -71,6 +71,10 @@ class PoolState(NamedTuple):
                             # the per-pixel scatter-add it replaces.
     steps: jax.Array        # (N,) i32 traversal steps per pixel (heatmap/stats)
     rays: jax.Array         # ()  i32 total rays traced (honest bench count)
+    it: jax.Array           # ()  i32 loop iterations executed
+    occ: jax.Array          # (cap,) i32 active lanes per iteration when
+                            # track_occupancy (else a (1,) dummy) — sizes the
+                            # tail-occupancy case for tiered dispatch
 
 
 def render_units_pooled(
@@ -90,6 +94,8 @@ def render_units_pooled(
     track_steps: bool = False,  # per-pixel traversal-step image (heatmap/
                             # stats); the scatter-add costs ~3.5ms/iteration
                             # at 524k lanes, so production frames skip it
+    track_occupancy: bool = False,  # record active lanes per iteration;
+                            # returns a 4th output (occ array, -1 padded)
 ):
     """Trace ``n_pix * cfg.max_samples`` paths; returns
     ``(radiance_mean (n_pix, 3), steps (n_pix,), rays ())``."""
@@ -345,6 +351,13 @@ def render_units_pooled(
             steps = st.steps.at[step_target].add(hit.steps, mode="drop")
         else:
             steps = st.steps
+        if track_occupancy:
+            n_act = jnp.sum(st.active.astype(jnp.int32))
+            occ = jax.lax.dynamic_update_index_in_dim(
+                st.occ, n_act, jnp.minimum(st.it, st.occ.shape[0] - 1), 0
+            )
+        else:
+            occ = st.occ
         return st._replace(
             origin=new_origin,
             direction=new_dir,
@@ -357,11 +370,33 @@ def render_units_pooled(
             out=out,
             steps=steps,
             rays=rays,
+            it=st.it + 1,
+            occ=occ,
             bsdf_pdf=jnp.where(alive, pdf_b, st.bsdf_pdf),
         )
 
     def iteration(st: PoolState) -> PoolState:
         return bounce(regenerate(st))
+
+    # ---- Tiered tail (measured: scripts/occupancy.py) ---------------------
+    # While units remain, regeneration keeps the pool ~100% occupied; once
+    # the frame's units are exhausted the survivors decay (atrium 1080p d4:
+    # 1.00 1.00 1.00 1.00 0.67 0.12 0.03 0.01 per iteration). Every bounce
+    # costs full pool width regardless of occupancy, so the tail's last
+    # iterations waste ~1.6x of the whole frame. Fix: run full width while
+    # the pool is dense, then COMPACT the survivors into a pool/4-wide
+    # state and keep going, then pool/16 — one gather per field per tier
+    # (not per iteration), static shapes throughout.
+    def compact(st: PoolState, new_pool: int) -> PoolState:
+        take = jnp.argsort(~st.active)[:new_pool]  # active lanes first
+        g = lambda a: a[take]
+        return st._replace(
+            pix=g(st.pix), unit=g(st.unit), origin=g(st.origin),
+            direction=g(st.direction), radiance=g(st.radiance),
+            throughput=g(st.throughput), absorption=g(st.absorption),
+            seed=g(st.seed), depth=g(st.depth), active=g(st.active),
+            bsdf_pdf=g(st.bsdf_pdf),
+        )
 
     def cond(st: PoolState) -> jax.Array:
         return (st.next_unit < total_units) | jnp.any(st.active)
@@ -384,10 +419,32 @@ def render_units_pooled(
         out=jnp.zeros((total_units, 3), jnp.float32),
         steps=jnp.zeros((n_pix,), jnp.int32),
         rays=jnp.asarray(0, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+        occ=jnp.full((1024 if track_occupancy else 1,), -1, jnp.int32),
     )
-    st = jax.lax.while_loop(cond, iteration, st0)
+    _tiers_env = os.environ.get("VKRT_TIERS", "1")
+    tiers = _tiers_env == "force" or (_tiers_env != "0" and p >= 8192)
+    tiers = tiers and p >= 64  # degenerate pools have no tail to tier
+    if not tiers:
+        st = jax.lax.while_loop(cond, iteration, st0)
+    else:
+        q, s = p // 4, p // 16
+
+        def cond_hi(st: PoolState) -> jax.Array:
+            return (st.next_unit < total_units) | (
+                jnp.sum(st.active.astype(jnp.int32)) > q
+            )
+
+        def cond_mid(st: PoolState) -> jax.Array:
+            return jnp.sum(st.active.astype(jnp.int32)) > s
+
+        st = jax.lax.while_loop(cond_hi, iteration, st0)
+        st = jax.lax.while_loop(cond_mid, iteration, compact(st, q))
+        st = jax.lax.while_loop(cond, iteration, compact(st, s))
     # Fold per-unit radiance to per-pixel means (unit = pixel*spp + sample).
     img = st.out.reshape(n_pix, spp, 3).sum(axis=1) / jnp.float32(spp)
+    if track_occupancy:
+        return img, st.steps, st.rays, st.occ
     return img, st.steps, st.rays
 
 
