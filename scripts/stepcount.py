@@ -133,6 +133,62 @@ def secondary_rays(rows, width, o, d, rng_seed=7):
     return p.astype(np.float32), nd
 
 
+def count_rows_anyhit(rows, width, o, d):
+    """Early-exit occlusion traversal: rows fetched until ANY hit (or
+    exhaustion) — models the NEE shadow pass."""
+    W = width
+    L = W // 2
+    inv_all = np.where(np.abs(d) > 1e-12, 1.0 / np.where(d == 0, 1, d), 1e30)
+    inv_all = np.where(d < 0, -np.abs(inv_all), np.abs(inv_all))
+    counts = np.zeros(len(o), np.int32)
+    occluded = np.zeros(len(o), bool)
+    bmin = rows[:, 0 * W:3 * W].reshape(-1, 3, W)
+    bmax = rows[:, 3 * W:6 * W].reshape(-1, 3, W)
+    refs = rows[:, 6 * W:7 * W]
+    for i in range(len(o)):
+        oi = o[i]
+        inv = inv_all[i]
+        stack = [0]
+        n_fetch = 0
+        done = False
+        while stack and not done:
+            r = stack.pop()
+            n_fetch += 1
+            t0 = (bmin[r] - oi[:, None]) * inv[:, None]
+            t1 = (bmax[r] - oi[:, None]) * inv[:, None]
+            tn = np.maximum(np.minimum(t0, t1).max(axis=0), 0.0)
+            tf = np.maximum(t0, t1).min(axis=0)
+            hit = tn <= tf
+            for c in np.where(hit)[0]:
+                cref = refs[r, c]
+                if cref >= 0.5:
+                    stack.append(int(cref))
+                elif cref < 0:
+                    code = int(-cref) - 1
+                    lrow = code // L
+                    cnt = code % L + 1
+                    n_fetch += 1
+                    lr = rows[lrow]
+                    p = lr[: 9 * L].reshape(9, L)[:, :cnt]
+                    p0, e1, e2 = p[0:3], p[3:6] - p[0:3], p[6:9] - p[0:3]
+                    dv = d[i]
+                    pv = np.cross(dv, e2.T).T
+                    det = (e1 * pv).sum(0)
+                    ok = np.abs(det) > 1e-12
+                    invd = 1.0 / np.where(ok, det, 1.0)
+                    tv = oi[:, None] - p0
+                    u = (tv * pv).sum(0) * invd
+                    qv = np.cross(tv.T, e1.T).T
+                    v = (dv[:, None] * qv).sum(0) * invd
+                    t = (e2 * qv).sum(0) * invd
+                    if (ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4) & (t < 1e30)).any():
+                        occluded[i] = True
+                        done = True
+                        break
+        counts[i] = n_fetch
+    return counts, occluded
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="atrium")
@@ -179,6 +235,16 @@ def main():
             print(
                 f"{name} secondary: rays={len(so)} mean={sc.mean():.2f} "
                 f"median={np.median(sc):.1f} p95={np.percentile(sc, 95):.1f}"
+            )
+            # Shadow model: any-hit toward the sun from the same hit points
+            sun = np.array([0.35, 0.8, 0.45], np.float32)
+            sun /= np.linalg.norm(sun)
+            sdirs = np.broadcast_to(sun, so.shape).copy()
+            ac, occ = count_rows_anyhit(rows, ps.width, so, sdirs)
+            print(
+                f"{name} shadow(any-hit, sun): mean={ac.mean():.2f} "
+                f"median={np.median(ac):.1f} p95={np.percentile(ac, 95):.1f} "
+                f"occluded={occ.mean():.2f}"
             )
 
 
