@@ -482,7 +482,10 @@ def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4, cur, meta, stack):
         # the while-loop carry needs no fresh allocations or staging copies
         # — the traced frame showed ~22% of device time in copy-start
         # around these buffers (the stack alone is 63 rows x pool lanes).
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        # VKRT_NOALIAS=1 disables for copy-overhead attribution experiments.
+        input_output_aliases=(
+            {} if os.environ.get("VKRT_NOALIAS") == "1" else {4: 0, 5: 1, 6: 2}
+        ),
         interpret=_interpret_mode(),
     )(row, o4, d4, i4, cur, meta, stack)
 
