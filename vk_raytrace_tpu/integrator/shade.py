@@ -46,7 +46,9 @@ def _unpack_rgba8(c: jax.Array) -> jax.Array:
     )
 
 
-def build_shade_rows(geom: Geometry) -> jax.Array:
+def build_shade_rows(
+    geom: Geometry, materials=None, atlas=None
+) -> jax.Array:
     """Pack everything GetShadeState reads into one (T, 40) f32 row per
     triangle, so the shading stage costs ONE row gather per lane instead of
     ~18 (indices + 3x{positions, normals, tangents, uv, color} + handedness
@@ -60,6 +62,13 @@ def build_shade_rows(geom: Geometry) -> jax.Array:
     Lanes: [0:9] p0 p1 p2 | [9:15] n oct lo/hi x3 | [15:21] t oct lo/hi x3
     | [21] handedness(v0) | [22:28] uv x3 | [28:34] color lo/hi x3
     | [34] mat_id | [35:40] pad.
+
+    With ``materials`` (+``atlas``) given, the per-triangle MATERIAL row
+    (:func:`pack_material_rows`, ``_PACK_LANES`` cols) is appended at
+    [40:40+_PACK_LANES], making the merged row 400 B — still inside the
+    flat-gather window, so shade state AND material resolve ride ONE gather
+    (``resolve_material`` consumes the slice via ``ss["prow"]``; the
+    separate (M,60) table gather disappears from the bounce).
     """
     idx = np.asarray(geom.indices).astype(np.int64)       # (T, 3)
     pos = np.asarray(geom.positions)
@@ -81,7 +90,23 @@ def build_shade_rows(geom: Geometry) -> jax.Array:
     c3 = col[idx]
     rows[:, 28:34:2] = (c3 & 0xFFFF).astype(np.float32)
     rows[:, 29:34:2] = (c3 >> 16).astype(np.float32)
-    rows[:, 34] = np.maximum(np.asarray(geom.tri_material), 0)
+    tri_mat = np.maximum(np.asarray(geom.tri_material), 0)
+    rows[:, 34] = tri_mat
+    if materials is not None and atlas is not None:
+        # Host-side: never touch the accelerator during scene build
+        # (render.py::_build_binary_bvh_cpu rationale).
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                mrows = np.asarray(pack_material_rows(materials, atlas))
+        else:
+            mrows = np.asarray(pack_material_rows(materials, atlas))
+        rows = np.concatenate(
+            [rows, mrows[np.minimum(tri_mat, len(mrows) - 1)]], axis=1
+        ).astype(np.float32)
     return rows
 
 
@@ -115,8 +140,11 @@ def get_shade_state(
     w = 1.0 - u - v
     bary = jnp.stack([w, u, v], axis=-1)      # (R, 3)
 
+    prow = None
     if shade_rows is not None:
-        row = shade_rows[trc]                 # (R, 40): THE gather
+        row = shade_rows[trc]                 # (R, 40 or 40+60): THE gather
+        if row.shape[1] >= 40 + _PACK_LANES:
+            prow = row[:, 40:40 + _PACK_LANES]
         p = row[:, 0:9].reshape(-1, 3, 3)
         n_pk = _join16(row[:, 9:15:2], row[:, 10:15:2])
         t_pk = _join16(row[:, 15:21:2], row[:, 16:21:2])
@@ -166,7 +194,7 @@ def get_shade_state(
     flip = dot(normal, geom_normal) <= 0.0
     normal = jnp.where(flip[..., None], -normal, normal)
 
-    return dict(
+    out = dict(
         position=position,
         normal=normal,
         geom_normal=geom_normal,
@@ -176,6 +204,9 @@ def get_shade_state(
         color=color[..., :3],
         mat_id=mat_id,
     )
+    if prow is not None:
+        out["prow"] = prow   # merged material slice: resolve_material skips
+    return out               # its own (M, 60) table gather
 
 
 @dataclasses.dataclass(frozen=True)
@@ -441,8 +472,12 @@ def resolve_material(
     None compiles the conservative everything-on path."""
     if features is None:
         features = MatFeatures()
-    rows = pack_material_rows(materials, atlas)
-    prow = rows[ss["mat_id"]]                       # (R, 60): THE gather
+    if "prow" in ss:
+        prow = ss["prow"]                  # merged shade+material row: the
+                                           # shade-state gather covered it
+    else:
+        rows = pack_material_rows(materials, atlas)
+        prow = rows[ss["mat_id"]]                   # (R, 60): THE gather
 
     def tap(name, uv, srgb=False):
         if tap_rows is not None:

@@ -57,10 +57,15 @@ TERM = -(2**30)
 _INF = float(INF)
 _ROOT_INF = 3.0e38
 
-BLK = 4096          # rays per kernel block: row 1 MB + stack ~0.9 MB in VMEM
+# Rays per kernel block: row 1 MB + stack ~0.9 MB in VMEM. Env-overridable
+# for tuning sweeps (must divide the padded pool width).
+BLK = int(os.environ.get("VKRT_BLK", "4096"))
 # Phase schedule: compact survivors to r/div at each boundary. Tunables so
 # the bench harness can sweep them; defaults chosen on the atrium.
-PHASE_DIVS = (4, 16, 64)
+# Sweepable via VKRT_PHASE_DIVS="2,8,64".
+PHASE_DIVS = tuple(
+    int(x) for x in os.environ.get("VKRT_PHASE_DIVS", "4,16,64").split(",")
+)
 # Chunk 4 beats 8 on the atrium (83 vs 98-130 ms closest-hit at 524k rays):
 # phases end nearer the live-fraction thresholds instead of overshooting by
 # up to 7 full-batch steps; the extra cond reductions are cheap on (1, R).
@@ -583,11 +588,19 @@ def _traverse_fused(
     chunk_len = 4 if rows.shape[0] < 1024 else CHUNK_LEN
 
     def run_phase(state, o4, d4, i4, live_floor):
-        def chunk(s):
-            def sbody(ss, _):
-                return step(o4, d4, i4, *ss), None
-            s, _ = jax.lax.scan(sbody, s, None, length=chunk_len)
-            return s
+        if os.environ.get("VKRT_UNROLL") == "1":
+            # Attribution experiment: unrolled chunk body (no lax.scan
+            # bufferization between steps).
+            def chunk(s):
+                for _ in range(chunk_len):
+                    s = step(o4, d4, i4, *s)
+                return s
+        else:
+            def chunk(s):
+                def sbody(ss, _):
+                    return step(o4, d4, i4, *ss), None
+                s, _ = jax.lax.scan(sbody, s, None, length=chunk_len)
+                return s
 
         if live_floor <= 0:
             cond = lambda s: jnp.any(s[0] != TERM)

@@ -81,17 +81,18 @@ def build_scene(
     from .ops.texture import build_tap_rows
 
     use_tap_rows = os.environ.get("VKRT_TAPROWS", "1") != "0"
+    atlas_r = atlas if atlas is not None else dummy_atlas()
     return SceneData(
         geometry=geometry,
         materials=materials,
         lights=lights,
         n_lights=np.int32(n_lights),
-        atlas=atlas if atlas is not None else dummy_atlas(),
+        atlas=atlas_r,
         env=env if env is not None else dummy_environment(),
         camera=camera,
         sun_sky=sun_sky if sun_sky is not None else default_sun_sky(),
         bvh=bvh,
-        shade_rows=build_shade_rows(geometry),
+        shade_rows=build_shade_rows(geometry, materials, atlas_r),
         tap_rows=(
             build_tap_rows(atlas)
             if (atlas is not None and use_tap_rows)
@@ -141,18 +142,19 @@ def build_instanced_scene(
     if n_lights is None:
         n_lights = int(np.count_nonzero(np.asarray(lights.intensity) > 0.0))
     use_tap_rows = os.environ.get("VKRT_TAPROWS", "1") != "0"
+    atlas_r = atlas if atlas is not None else dummy_atlas()
     return SceneData(
         geometry=pool.geometry,
         materials=materials,
         lights=lights,
         n_lights=np.int32(n_lights),
-        atlas=atlas if atlas is not None else dummy_atlas(),
+        atlas=atlas_r,
         env=env if env is not None else dummy_environment(),
         camera=camera,
         sun_sky=sun_sky if sun_sky is not None else default_sun_sky(),
         bvh=None,
         instances=accel,
-        shade_rows=build_shade_rows(pool.geometry),
+        shade_rows=build_shade_rows(pool.geometry, materials, atlas_r),
         tap_rows=(
             build_tap_rows(atlas)
             if (atlas is not None and use_tap_rows)
