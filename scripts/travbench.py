@@ -43,7 +43,12 @@ def main():
         use_sun_sky=True,
     )
     r = R.Renderer(scene, cfg)
-    planar = r.packed.opaque_planar
+    planar = getattr(r.packed, "opaque_planar", None)
+    if planar is None:
+        raise SystemExit(
+            "travbench requires the fused planar path (no opaque planar rows "
+            "were built — unset VKRT_FUSED=0 / check the native builder)"
+        )
     print(
         f"rows={planar.rows.shape} stack_depth={planar.stack_depth} "
         f"width={planar.width} noalias={os.environ.get('VKRT_NOALIAS')}",

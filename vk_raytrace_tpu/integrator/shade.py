@@ -13,6 +13,7 @@ so the object->world matrix chain of the reference collapses to identity.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -92,7 +93,14 @@ def build_shade_rows(
     rows[:, 29:34:2] = (c3 >> 16).astype(np.float32)
     tri_mat = np.maximum(np.asarray(geom.tri_material), 0)
     rows[:, 34] = tri_mat
-    if materials is not None and atlas is not None:
+    # Memory tradeoff: merging duplicates the 60-lane material row per
+    # TRIANGLE (160 B -> 400 B/row; atrium +52 MB, a 10M-tri scene +2.4 GB)
+    # to buy one gather instead of two per bounce. VKRT_MERGED_MAT=0 keeps
+    # the separate (M, 60) table for high-tri scenes. Material edits must
+    # rebuild shade_rows (Renderer construction does; no in-place mutation
+    # path exists).
+    merged = os.environ.get("VKRT_MERGED_MAT", "1") != "0"
+    if materials is not None and atlas is not None and merged:
         # Host-side: never touch the accelerator during scene build
         # (render.py::_build_binary_bvh_cpu rationale).
         try:
@@ -104,9 +112,10 @@ def build_shade_rows(
                 mrows = np.asarray(pack_material_rows(materials, atlas))
         else:
             mrows = np.asarray(pack_material_rows(materials, atlas))
-        rows = np.concatenate(
-            [rows, mrows[np.minimum(tri_mat, len(mrows) - 1)]], axis=1
-        ).astype(np.float32)
+        if len(mrows):
+            rows = np.concatenate(
+                [rows, mrows[np.minimum(tri_mat, len(mrows) - 1)]], axis=1
+            ).astype(np.float32)
     return rows
 
 

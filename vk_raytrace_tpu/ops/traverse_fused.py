@@ -58,14 +58,39 @@ _INF = float(INF)
 _ROOT_INF = 3.0e38
 
 # Rays per kernel block: row 1 MB + stack ~0.9 MB in VMEM. Env-overridable
-# for tuning sweeps (must divide the padded pool width).
-BLK = int(os.environ.get("VKRT_BLK", "4096"))
+# for tuning sweeps. Note: env toggles in this module (including
+# VKRT_NOALIAS / VKRT_UNROLL, read at trace time) only take effect in a
+# fresh process — a warm jit cache keeps the previously traced setting.
+
+
+def _env_int(name: str, default: int, minimum: int = 1) -> int:
+    raw = os.environ.get(name, "").strip()
+    if not raw:
+        return default
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from None
+    if v < minimum:
+        raise ValueError(f"{name} must be >= {minimum}, got {v}")
+    return v
+
+
+BLK = _env_int("VKRT_BLK", 4096)
+if BLK % 128 or BLK & (BLK - 1):
+    raise ValueError(f"VKRT_BLK must be a power of two multiple of 128, got {BLK}")
 # Phase schedule: compact survivors to r/div at each boundary. Tunables so
 # the bench harness can sweep them; defaults chosen on the atrium.
 # Sweepable via VKRT_PHASE_DIVS="2,8,64".
-PHASE_DIVS = tuple(
-    int(x) for x in os.environ.get("VKRT_PHASE_DIVS", "4,16,64").split(",")
-)
+_raw_divs = os.environ.get("VKRT_PHASE_DIVS", "4,16,64")
+try:
+    PHASE_DIVS = tuple(int(x) for x in _raw_divs.split(",") if x.strip())
+except ValueError:
+    raise ValueError(
+        f"VKRT_PHASE_DIVS must be a comma-separated int list, got {_raw_divs!r}"
+    ) from None
+if not PHASE_DIVS or any(d < 1 for d in PHASE_DIVS):
+    raise ValueError(f"VKRT_PHASE_DIVS must be positive ints, got {_raw_divs!r}")
 # Chunk 4 beats 8 on the atrium (83 vs 98-130 ms closest-hit at 524k rays):
 # phases end nearer the live-fraction thresholds instead of overshooting by
 # up to 7 full-batch steps; the extra cond reductions are cheap on (1, R).
