@@ -1,0 +1,149 @@
+"""Per-step cost decomposition of the fused traversal kernel.
+
+Times a lax.scan of 8 raw kernel steps at full pool width under controlled
+variants, so the per-step wall cost can be attributed to its three HBM
+components (row gather, stack read/write, staging copies):
+
+  base      the production step (gather + kernel, aliased carry)
+  stack8    stack_depth forced to 8 (INCORRECT traversal — timing only):
+            isolates the (D, R) stack read+write cost
+  nogather  row block sliced instead of gathered (INCORRECT): isolates the
+            row-gather cost
+  noalias   aliasing off: isolates what the in-place aliasing saves
+
+Usage: python scripts/stepbench.py [variants...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vk_raytrace_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vk_raytrace_tpu.models import procedural
+    from vk_raytrace_tpu import render as R
+    from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
+    from vk_raytrace_tpu.ops import traverse_fused as TF
+    from vk_raytrace_tpu.integrator.camera import generate_rays_for_pixels
+
+    geom, mats, lights, cam, atlas = procedural.atrium_scene()
+    scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
+    cfg = RenderConfig(width=1920, height=1080, max_depth=4, max_samples=1,
+                       hdr_multiplier=1.0, pbr_mode=PBR_GLTF,
+                       firefly_clamp=10.0, use_sun_sky=True)
+    r = R.Renderer(scene, cfg)
+    planar = r.packed.opaque_planar
+    P = 524288
+    pix = (np.arange(P, dtype=np.uint32) * 7919) % (1920 * 1080)
+    seeds = jnp.asarray((pix.astype(np.uint64) * 2654435761) % (1 << 31), jnp.uint32)
+    o, d, _ = generate_rays_for_pixels(
+        r.scene.camera, 1920, 1080, jnp.asarray(pix), jnp.uint32(0), seeds
+    )
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+
+    def t4(a):
+        return jnp.concatenate([a.T, jnp.zeros((1, P), a.dtype)], axis=0)
+
+    o4, d4, i4 = t4(o), t4(d), t4(inv)
+    rows = jnp.asarray(planar.rows)
+    W = planar.width
+
+    def build_scan(stack_depth, gather, alias):
+        n_meta = 8
+        kern = TF._make_step_kernel(
+            True, False, stack_depth, W, candidates=False,
+            n_rows=int(rows.shape[0]),
+        )
+        if not alias:
+            os.environ["VKRT_NOALIAS"] = "1"
+        else:
+            os.environ.pop("VKRT_NOALIAS", None)
+
+        def step(rows_in, oo, dd, ii, cur, rowid, meta, stack):
+            if gather:
+                return TF._step(rows_in, kern, stack_depth, W, n_meta,
+                                oo, dd, ii, cur, rowid, meta, stack)
+            # no-gather variant: a contiguous slice stands in for the row
+            # block (timing only; traversal results are wrong)
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+            row = jax.lax.dynamic_slice(
+                rows_in, (0, 0), (P if P <= rows_in.shape[0] else rows_in.shape[0], rows_in.shape[1])
+            )
+            if row.shape[0] < P:
+                row = jnp.pad(row, ((0, P - row.shape[0]), (0, 0)))
+
+            def cmaj(nr):
+                return pl.BlockSpec((nr, TF.BLK), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)
+
+            return pl.pallas_call(
+                kern,
+                grid=(P // TF.BLK,),
+                in_specs=[
+                    pl.BlockSpec((TF.BLK, W * 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
+                    cmaj(stack_depth),
+                ],
+                out_specs=[cmaj(1), cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((1, P), jnp.int32),
+                    jax.ShapeDtypeStruct((1, P), jnp.int32),
+                    jax.ShapeDtypeStruct((n_meta, P), jnp.float32),
+                    jax.ShapeDtypeStruct((stack_depth, P), jnp.int32),
+                ],
+                input_output_aliases=(
+                    {4: 0, 5: 1, 6: 2, 7: 3} if alias else {}
+                ),
+                interpret=TF._interpret_mode(),
+            )(row, oo, dd, ii, cur, rowid, meta, stack)
+
+        @jax.jit
+        def run(cur, rowid, meta, stack):
+            def body(s, _):
+                return step(rows, o4, d4, i4, *s), None
+            (cur, rowid, meta, stack), _ = jax.lax.scan(
+                body, (cur, rowid, meta, stack), None, length=8
+            )
+            return cur.sum(), meta.sum()
+
+        cur0 = jnp.zeros((1, P), jnp.int32)
+        rowid0 = jnp.zeros((1, P), jnp.int32)
+        meta0 = jnp.zeros((8, P), jnp.float32).at[1].set(1e30)
+        meta0 = meta0.at[2].set(-1.0)
+        stack0 = jnp.zeros((stack_depth, P), jnp.int32)
+        return run, (cur0, rowid0, meta0, stack0)
+
+    variants = sys.argv[1:] or ["base", "stack8", "nogather", "noalias"]
+    specs = {
+        "base": dict(stack_depth=planar.stack_depth, gather=True, alias=True),
+        "stack8": dict(stack_depth=8, gather=True, alias=True),
+        "nogather": dict(stack_depth=planar.stack_depth, gather=False, alias=True),
+        "noalias": dict(stack_depth=planar.stack_depth, gather=True, alias=False),
+    }
+    for name in variants:
+        run, init = build_scan(**specs[name])
+        out = jax.block_until_ready(run(*init))
+        t0 = time.perf_counter()
+        n = 6
+        for _ in range(n):
+            out = jax.block_until_ready(run(*init))
+        dt = (time.perf_counter() - t0) / n / 8
+        print(f"{name:9s} {dt*1e3:7.3f} ms/step @ {P} lanes", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Parity gate for the fused shading stage (integrator/shade_fused.py).
+
+The Pallas kernel must reproduce the XLA shading stage clause for clause:
+render the same frames through ``render_units_pooled`` with
+VKRT_FUSED_SHADE toggled and compare. Interpret mode (CPU) executes the
+same jnp ops as the kernel, so the tolerance covers only association-order
+differences of the row arithmetic.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vk_raytrace_tpu import render as R
+from vk_raytrace_tpu.models import procedural
+from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
+
+
+def _render(monkeypatch, fused: bool, scene, cfg, frames=2):
+    monkeypatch.setenv("VKRT_FUSED_SHADE", "1" if fused else "0")
+    monkeypatch.setenv("VKRT_FUSED", "1")  # interpret-mode fused traversal
+    r = R.Renderer(scene, cfg)
+    for _ in range(frames):
+        r.step()
+    return np.asarray(r.accum)
+
+
+@pytest.fixture()
+def _textured_scene():
+    geom, mats, lights, cam, atlas = procedural.helmet_scene(12, 24)
+    return R.build_scene(geom, mats, lights, cam, atlas=atlas)
+
+
+class TestShadeFusedParity:
+    def test_textured_scene_parity(self, monkeypatch, _textured_scene):
+        """Textured PBR + punctual light + HDR env: the full clause set."""
+        from vk_raytrace_tpu.models.hdr import build_environment
+
+        h, w = 16, 32
+        y = np.linspace(0.2, 1.5, h)[:, None]
+        img = np.broadcast_to(y, (h, w))[..., None] * np.array([1.0, 0.9, 0.7])
+        env = build_environment(jnp.asarray(img, jnp.float32))
+        scene = _textured_scene._replace(env=env)
+        cfg = RenderConfig(
+            width=48, height=32, max_depth=3, max_samples=1,
+            hdr_multiplier=1.0, pbr_mode=PBR_GLTF, firefly_clamp=10.0,
+        )
+        a = _render(monkeypatch, False, scene, cfg)
+        b = _render(monkeypatch, True, scene, cfg)
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_cornell_parity(self, monkeypatch):
+        """Untextured metallic-roughness + point light (config #1 class)."""
+        geom, mats, lights, cam = procedural.cornell_box()
+        scene = R.build_scene(geom, mats, lights, cam)
+        cfg = RenderConfig(
+            width=32, height=32, max_depth=2, max_samples=2,
+            hdr_multiplier=0.0, pbr_mode=PBR_GLTF,
+        )
+        a = _render(monkeypatch, False, scene, cfg)
+        b = _render(monkeypatch, True, scene, cfg)
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()
+
+    def test_compat_estimator_parity(self, monkeypatch, _textured_scene):
+        """full_mis=False (reference-compat weighting) also matches."""
+        import dataclasses
+
+        from vk_raytrace_tpu.models.hdr import build_environment
+
+        img = np.full((8, 16, 3), 0.6, np.float32)
+        env = build_environment(jnp.asarray(img))
+        scene = _textured_scene._replace(env=env)
+        cfg = RenderConfig(
+            width=32, height=24, max_depth=3, max_samples=1,
+            hdr_multiplier=1.0, pbr_mode=PBR_GLTF, full_mis=False,
+        )
+        a = _render(monkeypatch, False, scene, cfg)
+        b = _render(monkeypatch, True, scene, cfg)
+        assert np.abs(a - b).max() < 2e-4, np.abs(a - b).max()

@@ -60,9 +60,12 @@ def build_shade_rows(
     two exact-f32 16-bit halves — TPU float lanes flush denormals, so raw
     32-bit patterns must never ride in f32 lanes (see ops/traverse.py).
 
-    Lanes: [0:9] p0 p1 p2 | [9:15] n oct lo/hi x3 | [15:21] t oct lo/hi x3
-    | [21] handedness(v0) | [22:28] uv x3 | [28:34] color lo/hi x3
-    | [34] mat_id | [35:40] pad.
+    Lanes: [0:9] p0 p1 p2 | [9:12] n oct lo x3 | [12:15] n oct hi x3
+    | [15:18] t oct lo x3 | [18:21] t oct hi x3 | [21] handedness(v0)
+    | [22:28] uv x3 | [28:31] color lo x3 | [31:34] color hi x3
+    | [34] mat_id | [35:40] pad. Lo/hi halves are PLANAR (not interleaved):
+    the fused shading kernel (integrator/shade_fused.py) reads them as
+    contiguous sublane slices — Mosaic has no strided sublane access.
 
     With ``materials`` (+``atlas``) given, the per-triangle MATERIAL row
     (:func:`pack_material_rows`, ``_PACK_LANES`` cols) is appended at
@@ -81,16 +84,16 @@ def build_shade_rows(
     rows = np.zeros((t, 40), np.float32)
     rows[:, 0:9] = pos[idx].reshape(t, 9)
     n3 = nrm[idx]
-    rows[:, 9:15:2] = (n3 & 0xFFFF).astype(np.float32)
-    rows[:, 10:15:2] = (n3 >> 16).astype(np.float32)
+    rows[:, 9:12] = (n3 & 0xFFFF).astype(np.float32)
+    rows[:, 12:15] = (n3 >> 16).astype(np.float32)
     t3 = tan[idx]
-    rows[:, 15:21:2] = (t3 & 0xFFFF).astype(np.float32)
-    rows[:, 16:21:2] = (t3 >> 16).astype(np.float32)
+    rows[:, 15:18] = (t3 & 0xFFFF).astype(np.float32)
+    rows[:, 18:21] = (t3 >> 16).astype(np.float32)
     rows[:, 21] = np.asarray(geom.tangent_handedness)[idx[:, 0]]
     rows[:, 22:28] = uv[idx].reshape(t, 6)
     c3 = col[idx]
-    rows[:, 28:34:2] = (c3 & 0xFFFF).astype(np.float32)
-    rows[:, 29:34:2] = (c3 >> 16).astype(np.float32)
+    rows[:, 28:31] = (c3 & 0xFFFF).astype(np.float32)
+    rows[:, 31:34] = (c3 >> 16).astype(np.float32)
     tri_mat = np.maximum(np.asarray(geom.tri_material), 0)
     rows[:, 34] = tri_mat
     # Memory tradeoff: merging duplicates the 60-lane material row per
@@ -155,11 +158,11 @@ def get_shade_state(
         if row.shape[1] >= 40 + _PACK_LANES:
             prow = row[:, 40:40 + _PACK_LANES]
         p = row[:, 0:9].reshape(-1, 3, 3)
-        n_pk = _join16(row[:, 9:15:2], row[:, 10:15:2])
-        t_pk = _join16(row[:, 15:21:2], row[:, 16:21:2])
+        n_pk = _join16(row[:, 9:12], row[:, 12:15])
+        t_pk = _join16(row[:, 15:18], row[:, 18:21])
         handed = row[:, 21]
         uv3 = row[:, 22:28].reshape(-1, 3, 2)
-        c_pk = _join16(row[:, 28:34:2], row[:, 29:34:2])
+        c_pk = _join16(row[:, 28:31], row[:, 31:34])
         mat_id = row[:, 34].astype(jnp.int32)
     else:
         idx = geom.indices[trc]               # (R, 3)

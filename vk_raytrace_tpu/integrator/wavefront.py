@@ -176,12 +176,28 @@ def render_units_pooled(
             seed=seed, alpha_ctx=alpha_ctx, active=active,
         )
 
-    def bounce(st: PoolState) -> PoolState:
-        """One bounce for every active lane — semantics of
-        ``integrator/path.py::trace_paths.bounce`` with a per-lane depth."""
-        hit, seed = _closest(st.origin, st.direction, st.seed, st.active)
-        rays = st.rays + jnp.sum(st.active.astype(jnp.int32))
+    from . import shade_fused
 
+    use_fused_shade = shade_fused.supported(cfg, scene, features, is_instanced)
+
+    def shade_stage_fused(st: PoolState, hit, seed):
+        """Pallas-fused shading (integrator/shade_fused.py): same clauses as
+        :func:`shade_stage_xla`, one kernel instead of ~40 XLA ops."""
+        out = shade_fused.shade_bounce_fused(
+            scene, features, full_mis, p_select_light, hdr_mult,
+            hit, st.origin, st.direction, seed, st.active,
+            st.radiance, st.throughput, st.absorption, st.bsdf_pdf,
+            instances=packed.inst if is_instanced else None,
+        )
+        return (
+            out["radiance"], out["alive"], out["throughput"],
+            out["absorption"], out["new_origin"], out["new_dir"],
+            out["nee"], out["light_dir"], out["light_dist"], out["visible"],
+            out["rr_pcont"], out["pdf_b"], out["seed"],
+        )
+
+    def shade_stage_xla(st: PoolState, hit, seed):
+        """The reference XLA shading stage (unfused fallback + Disney)."""
         # ---- Environment miss (pathtrace.glsl:203-228) -------------------
         miss = st.active & (hit.tri < 0)
         env = env_radiance(
@@ -291,10 +307,6 @@ def render_units_pooled(
         # ---- Russian roulette continuation prob (:309-314) ---------------
         max_thr = jnp.max(throughput, axis=-1)
         rr_pcont = jnp.minimum(max_thr * state.eta * state.eta + 0.001, 0.95)
-        # Per-lane depth gate replaces the unrolled loop's static branch.
-        rr_on = cfg.rr and True
-        rr_gate = st.depth >= cfg.rr_depth if rr_on else jnp.zeros_like(alive)
-        rr_pcont = jnp.where(rr_gate, rr_pcont, 1.0)
 
         # ---- Next ray (:316-318) -----------------------------------------
         going_out = dot(l_b, state.ffnormal) > 0.0
@@ -302,6 +314,27 @@ def render_units_pooled(
         new_origin = offset_ray(state.position, off_n)
         new_origin = jnp.where(alive[..., None], new_origin, st.origin)
         new_dir = jnp.where(alive[..., None], l_b, st.direction)
+        return (
+            radiance, alive, throughput, absorption, new_origin, new_dir,
+            nee, light_dir, light_dist, visible, rr_pcont, pdf_b, seed,
+        )
+
+    def bounce(st: PoolState) -> PoolState:
+        """One bounce for every active lane — semantics of
+        ``integrator/path.py::trace_paths.bounce`` with a per-lane depth."""
+        hit, seed = _closest(st.origin, st.direction, st.seed, st.active)
+        rays = st.rays + jnp.sum(st.active.astype(jnp.int32))
+
+        stage = shade_stage_fused if use_fused_shade else shade_stage_xla
+        (
+            radiance, alive, throughput, absorption, new_origin, new_dir,
+            nee, light_dir, light_dist, visible, rr_pcont, pdf_b, seed,
+        ) = stage(st, hit, seed)
+
+        # Per-lane depth gate replaces the unrolled loop's static branch.
+        rr_on = cfg.rr and True
+        rr_gate = st.depth >= cfg.rr_depth if rr_on else jnp.zeros_like(alive)
+        rr_pcont = jnp.where(rr_gate, rr_pcont, 1.0)
 
         # ---- Deferred shadow ray (:320-331) ------------------------------
         if os.environ.get("VKRT_ABLATE") == "noshadow":

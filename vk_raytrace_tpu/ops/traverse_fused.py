@@ -233,13 +233,14 @@ def _bitonic(key, ref, sub, width):
 
 def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
                       stack_depth: int, width: int = 8,
-                      candidates: bool = False):
+                      candidates: bool = False, n_rows: int = 1):
     W = width
     LT = W // 2                 # leaf triangles per row
     CB = LT.bit_length() - 1    # leaf-count bits: 4 tris -> 2, 8 tris -> 3
 
-    def kern(row_ref, o_ref, d_ref, i_ref, cur_ref, meta_ref, stack_ref,
-             ncur_ref, nmeta_ref, nstack_ref):
+    def kern(row_ref, o_ref, d_ref, i_ref, cur_ref, rowid_ref, meta_ref,
+             stack_ref, ncur_ref, nrowid_ref, nmeta_ref, nstack_ref):
+        del rowid_ref  # consumed by the XLA row gather, carried through here
         rowT = row_ref[:].T                     # one in-VMEM transpose
         cur = cur_ref[:]                        # (1, B) i32
         depth = meta_ref[_M_DEPTH:_M_DEPTH + 1, :].astype(jnp.int32)
@@ -413,7 +414,16 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         next_cur = jnp.where(can_pop, top, next_cur)
         new_depth = new_depth - can_pop.astype(jnp.int32)
 
+        # Next step's row index, emitted HERE so ``cur`` has exactly ONE
+        # consumer (this kernel): when the XLA row gather read ``cur`` too,
+        # the in-place aliasing forced a defensive copy of the whole carry
+        # every step (~half the traversal cost in the round-4 trace).
+        nvleaf = -next_cur - 1
+        nrow = jnp.where(next_cur >= 0, next_cur, nvleaf >> CB)
+        nrow = jnp.clip(jnp.where(next_cur == TERM, 0, nrow), 0, n_rows - 1)
+
         ncur_ref[:] = next_cur
+        nrowid_ref[:] = nrow
         nstack_ref[:] = new_stack
         nmeta_ref[_M_DEPTH:_M_DEPTH + 1, :] = new_depth.astype(jnp.float32)
         nmeta_ref[_M_T:_M_T + 1, :] = new_t
@@ -481,15 +491,11 @@ def _interpret_mode() -> bool:
         return True
 
 
-def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4, cur, meta, stack):
+def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4,
+          cur, rowid, meta, stack):
     r = cur.shape[1]
-    n_rows = rows.shape[0]
     lanes = width * 8
-    leaf_bits = (width // 2).bit_length() - 1
-    vleaf = -cur[0] - 1
-    row_id = jnp.where(cur[0] >= 0, cur[0], vleaf >> leaf_bits)
-    row_id = jnp.clip(jnp.where(cur[0] == TERM, 0, row_id), 0, n_rows - 1)
-    row = rows[row_id]                          # THE gather (XLA hardware path)
+    row = rows[rowid[0]]                        # THE gather (XLA hardware path)
 
     def cmaj(nr):
         return pl.BlockSpec((nr, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -499,25 +505,32 @@ def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4, cur, meta, stack):
         grid=(r // BLK,),
         in_specs=[
             pl.BlockSpec((BLK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(n_meta), cmaj(stack_depth),
+            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
+            cmaj(stack_depth),
         ],
-        out_specs=[cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
+        out_specs=[cmaj(1), cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
         out_shape=[
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
             jax.ShapeDtypeStruct((n_meta, r), jnp.float32),
             jax.ShapeDtypeStruct((stack_depth, r), jnp.int32),
         ],
-        # In-place state update: cur/meta/stack alias their outputs (grid
-        # blocks are disjoint and each block writes only what it read), so
-        # the while-loop carry needs no fresh allocations or staging copies
-        # — the traced frame showed ~22% of device time in copy-start
-        # around these buffers (the stack alone is 63 rows x pool lanes).
-        # VKRT_NOALIAS=1 disables for copy-overhead attribution experiments.
+        # In-place state update: cur/rowid/meta/stack alias their outputs
+        # (grid blocks are disjoint and each block writes only what it
+        # read), so the while-loop carry needs no fresh allocations or
+        # staging copies. The row index for the NEXT gather is emitted by
+        # the kernel itself so ``cur`` has a single consumer — computing it
+        # in XLA from ``cur`` forced a defensive copy of the aliased carry
+        # every step (round-4 trace: ~2.4 ms/step of copy-start at 524k
+        # lanes vs 1.2 ms of kernel). VKRT_NOALIAS=1 disables aliasing for
+        # attribution experiments.
         input_output_aliases=(
-            {} if os.environ.get("VKRT_NOALIAS") == "1" else {4: 0, 5: 1, 6: 2}
+            {}
+            if os.environ.get("VKRT_NOALIAS") == "1"
+            else {4: 0, 5: 1, 6: 2, 7: 3}
         ),
         interpret=_interpret_mode(),
-    )(row, o4, d4, i4, cur, meta, stack)
+    )(row, o4, d4, i4, cur, rowid, meta, stack)
 
 
 def _traverse_fused(
@@ -606,9 +619,17 @@ def _traverse_fused(
     stack0 = jnp.zeros((stack_depth, r), jnp.int32)
 
     kern = _make_step_kernel(
-        cull_backface, any_hit_mode, stack_depth, W, candidates=return_uvt
+        cull_backface, any_hit_mode, stack_depth, W, candidates=return_uvt,
+        n_rows=int(rows.shape[0]),
     )
     step = functools.partial(_step, rows, kern, stack_depth, W, n_meta)
+
+    leaf_bits = (W // 2).bit_length() - 1
+    vleaf0 = -cur0 - 1
+    rowid0 = jnp.where(cur0 >= 0, cur0, vleaf0 >> leaf_bits)
+    rowid0 = jnp.clip(
+        jnp.where(cur0 == TERM, 0, rowid0), 0, rows.shape[0] - 1
+    )
 
     chunk_len = 4 if rows.shape[0] < 1024 else CHUNK_LEN
 
@@ -639,7 +660,7 @@ def _traverse_fused(
         gather covers cur+meta+rays, plus one for the stack — 2 gathers
         instead of 6 (and XLA inserts the transposes it would have needed
         for the axis-1 gathers anyway)."""
-        cur, meta, stack = state
+        cur, _rowid, meta, stack = state
         full = cur.shape[1]
         (idx,) = jnp.nonzero(cur[0] != TERM, size=size, fill_value=full)
         safe = jnp.minimum(idx, full - 1)
@@ -649,6 +670,12 @@ def _traverse_fused(
             [cur, bc(meta), bc(o4[0:3]), bc(d4[0:3]), bc(i4[0:3])], axis=0
         ).T[safe]                                   # (size, 1+M+9) i32
         sub_cur = jnp.where(valid, packed[:, 0], TERM)[None, :]
+        # Recompute the row index at the (once-per-phase) boundary.
+        svleaf = -sub_cur - 1
+        sub_rowid = jnp.where(sub_cur >= 0, sub_cur, svleaf >> leaf_bits)
+        sub_rowid = jnp.clip(
+            jnp.where(sub_cur == TERM, 0, sub_rowid), 0, rows.shape[0] - 1
+        )
         fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         m = meta.shape[0]
         sub_meta = fb(packed[:, 1:1 + m].T)
@@ -656,15 +683,15 @@ def _traverse_fused(
         o4c = jnp.concatenate([fb(packed[:, 1 + m:4 + m].T), pad1], axis=0)
         d4c = jnp.concatenate([fb(packed[:, 4 + m:7 + m].T), pad1], axis=0)
         i4c = jnp.concatenate([fb(packed[:, 7 + m:10 + m].T), pad1], axis=0)
-        sub = (sub_cur, sub_meta, stack[:, safe])
+        sub = (sub_cur, sub_rowid, sub_meta, stack[:, safe])
         return sub, o4c, d4c, i4c, idx
 
     def merge(state, sub, idx):
-        cur, meta, stack = state
-        meta = meta.T.at[idx].set(sub[1].T, mode="drop").T
-        return (cur, meta, stack)
+        cur, rowid, meta, stack = state
+        meta = meta.T.at[idx].set(sub[2].T, mode="drop").T
+        return (cur, rowid, meta, stack)
 
-    state = (cur0[None, :], meta0, stack0)
+    state = (cur0[None, :], rowid0[None, :], meta0, stack0)
     if phase_compact and r >= 1 << 15:
         oc, dc, ic = o4, d4, i4
         merges = []
@@ -682,7 +709,7 @@ def _traverse_fused(
     else:
         state = run_phase(state, o4, d4, i4, 0)
 
-    _, meta, _ = state
+    _, _, meta, _ = state
     steps = meta[_M_STEPS, :r_in].astype(jnp.int32)
     if return_uvt:
         # Candidate mode: the result is the CANDIDATE slot (nearest
