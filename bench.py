@@ -126,6 +126,78 @@ def main_multichip(n_virtual: int | None):
     }))
 
 
+def _ceiling_stats(r, w, h):
+    """The workload's machine-ceiling denominator (the "MFU" this workload
+    admits): traversal cost is flat per gathered row, so
+
+        ceiling Mrays/s = gather_bandwidth / (rows_per_ray x row_bytes)
+
+    rows_per_ray comes from the CPU-exact traversal counter
+    (utils/stepcount.py) over a sampled ray mix modeling the depth-4 frame:
+    closest-hit rows = (primary + 3 x diffuse-bounce)/4, mixed 50/50 with
+    NEE shadow (early-exit any-hit toward the sun). Gather bandwidth is
+    measured on THIS device over the production row table (8 gathers of 1M
+    rows amortized in one program). Alpha-tree rows are excluded (small
+    trees; utilization is slightly overstated on alpha-heavy scenes)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vk_raytrace_tpu.utils.stepcount import (
+        count_rows, count_rows_anyhit, primary_rays, secondary_rays,
+    )
+
+    ps = getattr(r.packed, "opaque_planar", None)
+    if ps is None:
+        return None
+    rows_host = np.asarray(ps.rows)
+    o, d = primary_rays(r.scene, w, h, 48, 27)
+    prim = count_rows(rows_host, ps.width, o, d)
+    so, sd = secondary_rays(rows_host, ps.width, o, d)
+    so, sd = so[:512], sd[:512]
+    sec = count_rows(rows_host, ps.width, so, sd)
+    sun = np.asarray(r.scene.sun_sky.sun_direction, np.float32)
+    sun = sun / max(np.linalg.norm(sun), 1e-9)
+    shadow, _occ = count_rows_anyhit(
+        rows_host, ps.width, so, np.broadcast_to(sun, so.shape).copy()
+    )
+    rows_closest = (prim.mean() + 3.0 * sec.mean()) / 4.0
+    rows_per_ray = 0.5 * rows_closest + 0.5 * shadow.mean()
+
+    # Measured gather bandwidth over the production table on this device.
+    dev_rows = jnp.asarray(ps.rows)
+    n = 1 << 20
+    idx = jnp.asarray(
+        (np.arange(n, dtype=np.int64) * 2654435761) % rows_host.shape[0],
+        jnp.int32,
+    )
+
+    @jax.jit
+    def g(idx):
+        def body(s, _):
+            # carry-dependent indices keep the 8 gathers loop-carried
+            j = (idx + s.astype(jnp.int32)) % rows_host.shape[0]
+            return s + dev_rows[j].sum() * 1e-12, None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=8)
+        return s
+
+    jax.block_until_ready(g(idx))
+    t0 = time.perf_counter()
+    jax.block_until_ready(g(idx))
+    dt = time.perf_counter() - t0
+    row_bytes = rows_host.shape[1] * 4
+    gbps = 8 * n * row_bytes / dt / 1e9
+    ceiling = gbps * 1e9 / (rows_per_ray * row_bytes) / 1e6  # Mrays/s
+    return {
+        "rows_per_ray": round(float(rows_per_ray), 2),
+        "rows_primary": round(float(prim.mean()), 2),
+        "rows_secondary": round(float(sec.mean()), 2),
+        "rows_shadow": round(float(shadow.mean()), 2),
+        "gather_GBps": round(gbps, 1),
+        "ceiling_mrays": round(ceiling, 1),
+    }
+
+
 def main():
     import jax
     from vk_raytrace_tpu.utils import device as devutil
@@ -150,6 +222,14 @@ def main():
     dt = time.perf_counter() - t0
     mrays = total_rays / dt / 1e6
 
+    ceiling = None
+    try:
+        ceiling = _ceiling_stats(r, W, H)
+    except Exception as e:  # the denominator must never sink the headline
+        ceiling = {"error": str(e)[:200]}
+    if ceiling and "ceiling_mrays" in ceiling:
+        ceiling["ceiling_frac"] = round(mrays / ceiling["ceiling_mrays"], 4)
+
     result = {
         "metric": "atrium_1080p_d4_mrays_per_sec",
         "value": round(mrays, 3),
@@ -166,6 +246,7 @@ def main():
             ),
             "warmup_s": round(t_compile, 1),
             "frames_timed": ITERS,
+            "ceiling": ceiling,
             "devices": len(jax.devices()),
             "device_kind": jax.devices()[0].device_kind,
             "wall_s": round(time.time() - t_start, 1),

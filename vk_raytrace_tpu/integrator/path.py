@@ -118,13 +118,17 @@ def nee_strategy_pdf(
     return jnp.where(use_light, p_light_sel / n_lf, (1.0 - p_light_sel) * e_pdf)
 
 
-def env_bsdf_mis_weight(scene, bsdf_pdf, direction, p_select_light: float):
+def env_bsdf_mis_weight(
+    scene, bsdf_pdf, direction, p_select_light: float, sun_disk: bool = False
+):
     """Power-heuristic weight for a BSDF-sampled ray that escaped to the
     environment (full-MIS counterpart of the NEE env term; the reference
     adds this contribution unweighted, pathtrace.glsl:228). Camera rays
     (bsdf_pdf == 0) see the environment directly: weight 1."""
     p_light_sel = jnp.where(scene.n_lights > 0, p_select_light, 0.0)
-    pdf_env = environment_pdf(scene.env, direction) * (1.0 - p_light_sel)
+    pdf_env = environment_pdf(
+        scene.env, direction, scene.sun_sky, sun_disk
+    ) * (1.0 - p_light_sel)
     return jnp.where(
         bsdf_pdf > 0.0,
         jnp.maximum(0.0, power_heuristic(bsdf_pdf, pdf_env)),
@@ -244,11 +248,13 @@ def trace_paths(
         # ---- Environment miss (pathtrace.glsl:203-228) -------------------
         miss = st.alive & (hit.tri < 0)
         env = env_radiance(
-            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, st.direction
+            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, st.direction,
+            sun_disk=cfg.sun_disk,
         )
         if full_mis:
             w_env = env_bsdf_mis_weight(
-                scene, st.bsdf_pdf, st.direction, p_select_light
+                scene, st.bsdf_pdf, st.direction, p_select_light,
+                sun_disk=cfg.sun_disk,
             )
             env = env * w_env[..., None]
         radiance = st.radiance + jnp.where(
@@ -305,7 +311,8 @@ def trace_paths(
         l_int, l_dir, l_dist = sample_light(scene.lights, light_index, state.position)
 
         e_rad, e_dir, e_pdf, seed = env_sample(
-            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, seed
+            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, seed,
+            sun_disk=cfg.sun_disk,
         )
 
         light_contrib = jnp.where(use_light[..., None], l_int, e_rad)

@@ -900,6 +900,7 @@ def shade_bounce_fused(
     absorption,
     bsdf_pdf,
     instances=None,
+    sun_disk: bool = False,
 ):
     """Run the fused shading stage for one pooled bounce.
 
@@ -913,6 +914,9 @@ def shade_bounce_fused(
     # ---- RNG draws, reference order (pathtrace.glsl DirectLight+Sample) ---
     seed, u_sel = rng.rand(seed)
     seed, u_li = rng.rand(seed)
+    if sun_disk:
+        # env_sample's mixture-selection draw precedes xi (ops/env.py).
+        seed, u_mix = rng.rand(seed)
     seed, xi = rng.rand3(seed)
     seed, probability = rng.rand(seed)
     seed, r1 = rng.rand(seed)
@@ -983,16 +987,26 @@ def shade_bounce_fused(
     )
     # env_sample consumes xi (already drawn; use_sun_sky is False on the
     # production path — prepare_sun_sky bakes the sky into env).
-    e_rad, e_dir, e_pdf = _env_sample_xi(scene.env, xi)
+    if sun_disk:
+        e_rad, e_dir, e_pdf = _env_sample_mixture(
+            scene.env, scene.sun_sky, u_mix, xi
+        )
+    else:
+        e_rad, e_dir, e_pdf = _env_sample_xi(scene.env, xi)
     e_rad = e_rad * hdr_mult
     light_contrib = jnp.where(use_light[..., None], l_int, e_rad)
     light_dir = jnp.where(use_light[..., None], l_dir, e_dir)
     light_dist = jnp.where(use_light, l_dist, 1e32)
     light_pdf = nee_strategy_pdf(full_mis, scene, use_light, e_pdf, p_select_light)
 
-    env = env_radiance(scene.env, scene.sun_sky, False, hdr_mult, st_direction)
+    env = env_radiance(
+        scene.env, scene.sun_sky, False, hdr_mult, st_direction,
+        sun_disk=sun_disk,
+    )
     if full_mis:
-        w_env = env_bsdf_mis_weight(scene, bsdf_pdf, st_direction, p_select_light)
+        w_env = env_bsdf_mis_weight(
+            scene, bsdf_pdf, st_direction, p_select_light, sun_disk=sun_disk
+        )
         env = env * w_env[..., None]
 
     instanced = instances is not None
@@ -1096,3 +1110,10 @@ def _env_sample_xi(env, xi):
     from ..ops.env import environment_sample
 
     return environment_sample(env, xi)
+
+
+def _env_sample_mixture(env, sun_sky, u_mix, xi):
+    """ops/env.py::sample_env_mixture (pre-drawn variates: u_mix then xi)."""
+    from ..ops.env import sample_env_mixture
+
+    return sample_env_mixture(env, sun_sky, u_mix, xi)

@@ -188,6 +188,7 @@ def render_units_pooled(
             hit, st.origin, st.direction, seed, st.active,
             st.radiance, st.throughput, st.absorption, st.bsdf_pdf,
             instances=packed.inst if is_instanced else None,
+            sun_disk=cfg.sun_disk,
         )
         return (
             out["radiance"], out["alive"], out["throughput"],
@@ -201,11 +202,13 @@ def render_units_pooled(
         # ---- Environment miss (pathtrace.glsl:203-228) -------------------
         miss = st.active & (hit.tri < 0)
         env = env_radiance(
-            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, st.direction
+            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, st.direction,
+            sun_disk=cfg.sun_disk,
         )
         if full_mis:
             w_env = env_bsdf_mis_weight(
-                scene, st.bsdf_pdf, st.direction, p_select_light
+                scene, st.bsdf_pdf, st.direction, p_select_light,
+                sun_disk=cfg.sun_disk,
             )
             env = env * w_env[..., None]
         radiance = st.radiance + jnp.where(
@@ -258,7 +261,8 @@ def render_units_pooled(
             scene.lights, light_index, state.position
         )
         e_rad, e_dir, e_pdf, seed = env_sample(
-            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, seed
+            scene.env, scene.sun_sky, cfg.use_sun_sky, hdr_mult, seed,
+            sun_disk=cfg.sun_disk,
         )
 
         light_contrib = jnp.where(use_light[..., None], l_int, e_rad)

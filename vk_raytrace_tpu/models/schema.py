@@ -324,6 +324,12 @@ class RenderConfig:
     debug_mode: int = DEBUG_NONE
     pbr_mode: int = PBR_DISNEY
     use_sun_sky: bool = False
+    # Hybrid analytic sun (production sun&sky path): prepare_sun_sky bakes
+    # the sky WITHOUT the sub-texel disk core and sets this, so misses add
+    # the core analytically and NEE mixes in a sun-cone strategy
+    # (ops/sunsky.py::sun_disk_radiance, ops/env.py::env_sample). Mutually
+    # exclusive with use_sun_sky (which evaluates the full model per ray).
+    sun_disk: bool = False
     render_scale: int = 1          # descaling level (sample_example.cpp:410-415)
     # Heatmap range: this renderer feeds accumulated traversal STEP counts
     # (tens to a few hundred per path) into the temperature ramp, not the

@@ -14,7 +14,7 @@ from ..models.schema import Environment, SunSky
 from . import rng
 from .math import make_coordinate_system, normalize, spherical_uv
 from .texture import sample_env
-from .sunsky import sun_and_sky
+from .sunsky import sun_and_sky, sun_disk_cone, sun_disk_radiance
 
 M_PI = jnp.pi
 
@@ -75,11 +75,21 @@ def environment_sample(env: Environment, xi: jax.Array):
     return radiance, direction, pdf
 
 
-def environment_pdf(env: Environment, direction: jax.Array) -> jax.Array:
+def environment_pdf(
+    env: Environment,
+    direction: jax.Array,
+    sun_sky: SunSky = None,
+    sun_disk: bool = False,
+) -> jax.Array:
     """PDF of :func:`environment_sample` for a given direction (per steradian).
 
     Not used by the reference integrator (its miss shader adds the full env
-    contribution without MIS), provided for completeness/testing.
+    contribution without MIS), provided for the full-MIS estimator.
+
+    ``sun_disk`` (static): the hybrid analytic-sun strategy — the density
+    becomes the 50/50 mixture of the alias table and the uniform sun-disk
+    cone of :func:`env_sample`, so BSDF-side MIS weights stay consistent
+    with the NEE sampler.
     """
     h, w = env.image.shape[0], env.image.shape[1]
     uv = spherical_uv(direction)
@@ -89,8 +99,24 @@ def environment_pdf(env: Environment, direction: jax.Array) -> jax.Array:
     # in-texel distribution is solid-angle uniform, so the per-steradian
     # density is exactly the stored pdf (maxChannel / integral).
     if env.rows is not None:
-        return env.rows[y * w + x, 14]
-    return env.accel.pdf[y * w + x]
+        pdf = env.rows[y * w + x, 14]
+    else:
+        pdf = env.accel.pdf[y * w + x]
+    if sun_disk:
+        q, p_cone = _cone_pdf(sun_sky, direction)
+        pdf = (1.0 - q) * pdf + q * p_cone
+    return pdf
+
+
+def _cone_pdf(sun_sky: SunSky, direction: jax.Array):
+    """(q, p_cone(direction)) of the sun-cone half of the NEE mixture:
+    uniform density over the cone's solid angle, zero outside; ``q`` is the
+    traced cone-selection probability (0 when the disk is disabled)."""
+    present, axis, cos_theta = sun_disk_cone(sun_sky)
+    q = jnp.where(present, 0.5, 0.0)
+    solid_angle = 2.0 * M_PI * jnp.maximum(1.0 - cos_theta, 1e-12)
+    inside = jnp.sum(direction * axis, axis=-1) >= cos_theta
+    return q, jnp.where(inside, 1.0 / solid_angle, 0.0)
 
 
 def env_sample(
@@ -99,10 +125,20 @@ def env_sample(
     use_sun_sky: bool,
     hdr_multiplier: jax.Array,
     seed: jax.Array,
+    sun_disk: bool = False,
 ):
     """``EnvSample`` (env_sampling.glsl:105-135): draw an environment light
     sample from either the procedural sky (sun-disk cone, pdf 0.5) or the
     HDR alias table. ``use_sun_sky`` is static (scene config).
+
+    ``sun_disk`` (static, production sun&sky path): the baked-sky alias
+    table cannot resolve the sub-texel disk core, so the env strategy
+    becomes a 50/50 MIXTURE of (a) a uniform sample of the sun-disk cone
+    and (b) the alias table over the disk-less baked sky, with the proper
+    mixture density (unlike the reference's hardcoded pdf=0.5,
+    env_sampling.glsl:123 — its own comment says "#TODO: find proper
+    light direction + PDF"). Radiance returned is the TOTAL environment
+    along the sampled direction (baked + analytic disk delta).
 
     Returns ``(radiance, dir, pdf, seed')``.
     """
@@ -120,11 +156,63 @@ def env_sample(
         )
         radiance = sun_and_sky(sun_sky, direction)
         pdf = jnp.full(direction.shape[:-1], 0.5, jnp.float32)
+    elif sun_disk:
+        seed, u_mix = rng.rand(seed)
+        seed, xi = rng.rand3(seed)
+        radiance, direction, pdf = sample_env_mixture(env, sun_sky, u_mix, xi)
     else:
         seed, xi = rng.rand3(seed)
         radiance, direction, pdf = environment_sample(env, xi)
     radiance = radiance * hdr_multiplier
     return radiance, direction, pdf, seed
+
+
+def sample_env_mixture(env: Environment, sun_sky: SunSky, u_mix, xi):
+    """The sun-disk NEE mixture with pre-drawn variates (``u_mix`` then
+    ``xi``; the fused-shade prologue draws them up front to keep per-lane
+    streams bit-identical — integrator/shade_fused.py).
+
+    Returns ``(radiance, direction, pdf)`` where radiance is the TOTAL env
+    (disk-less baked lookup + analytic disk delta) and pdf the proper
+    mixture density at the chosen direction.
+    """
+    # Alias half (the disk-less baked sky).
+    a_rad, a_dir, a_pdf = environment_sample(env, xi)
+    # Cone half: uniform over the disk cone's solid angle (reuses xi[1:]
+    # so both halves consume the same draws).
+    present, axis, cos_theta = sun_disk_cone(sun_sky)
+    q = jnp.where(present, 0.5, 0.0)
+    cz = 1.0 - xi[..., 1] * (1.0 - cos_theta)
+    sz = jnp.sqrt(jnp.maximum(0.0, 1.0 - cz * cz))
+    phi = xi[..., 2] * (2.0 * M_PI)
+    t, b = make_coordinate_system(
+        jnp.broadcast_to(axis, xi.shape[:-1] + (3,))
+    )
+    c_dir = normalize(
+        t * (sz * jnp.cos(phi))[..., None]
+        + b * (sz * jnp.sin(phi))[..., None]
+        + axis * cz[..., None]
+    )
+    take_cone = u_mix < q
+    direction = jnp.where(take_cone[..., None], c_dir, a_dir)
+    # Mixture density at the CHOSEN direction: the cone branch needs the
+    # alias pdf of the cone direction (one extra row gather), the alias
+    # branch the analytic cone density of its direction.
+    _, p_cone_at = _cone_pdf(sun_sky, direction)
+    p_alias_at = jnp.where(take_cone, environment_pdf(env, c_dir), a_pdf)
+    pdf = (1.0 - q) * p_alias_at + q * p_cone_at
+    # Total env radiance along the chosen direction: baked lookup for cone
+    # dirs + the analytic disk delta everywhere.
+    if env.rows is not None:
+        c_rad = _bilinear_packed(
+            env.rows, env.image.shape[0], env.image.shape[1],
+            spherical_uv(c_dir),
+        )
+    else:
+        c_rad = sample_env(env.image, spherical_uv(c_dir))
+    radiance = jnp.where(take_cone[..., None], c_rad, a_rad)
+    radiance = radiance + sun_disk_radiance(sun_sky, direction)
+    return radiance, direction, pdf
 
 
 def _bilinear_packed(rows: jax.Array, h: int, w: int, uv: jax.Array):
@@ -157,9 +245,14 @@ def env_radiance(
     use_sun_sky: bool,
     hdr_multiplier: jax.Array,
     direction: jax.Array,
+    sun_disk: bool = False,
 ) -> jax.Array:
     """Environment radiance along a miss direction
-    (pathtrace.glsl:218-227): sun&sky or lat-long lookup, x hdrMultiplier."""
+    (pathtrace.glsl:218-227): sun&sky or lat-long lookup, x hdrMultiplier.
+
+    ``sun_disk`` (static): baked-sky mode with the analytic disk core added
+    back per ray (the bake dropped it — ops/sunsky.py::sun_disk_radiance),
+    giving a sharp sun at any bake resolution."""
     if use_sun_sky:
         e = sun_and_sky(sun_sky, direction)
     elif env.rows is not None:
@@ -169,4 +262,6 @@ def env_radiance(
         )
     else:
         e = sample_env(env.image, spherical_uv(direction))
+    if sun_disk and not use_sun_sky:
+        e = e + sun_disk_radiance(sun_sky, direction)
     return e * hdr_multiplier

@@ -255,16 +255,19 @@ def _physical_scale(sun_disk_scale, sun_glow_intensity, sun_disk_intensity):
     return disk_scale, glow_scale
 
 
-def bake_environment(ss: SunSky, height: int = 512, width: int = 1024) -> jax.Array:
+def bake_environment(
+    ss: SunSky, height: int = 512, width: int = 1024, disk: bool = True
+) -> jax.Array:
     """Evaluate the procedural sky into a lat-long map (H, W, 3).
 
     TPU-first design decision: the reference evaluates ``sun_and_sky`` per
     ray in-shader (pathtrace.glsl:220); on a vector machine the model's
     ~1000 transcendentals/ray (incl. the 25-sample ground irradiance
     quadrature) dominate whole frames. Baking once per parameter change
-    turns the runtime path into a plain environment lookup, and the alias
-    table then importance-samples the sun disk far better than the
-    reference's fixed pdf=0.5 cone (env_sampling.glsl:110-125).
+    turns the runtime path into a plain environment lookup; the alias table
+    importance-samples the sky and glow. The production path bakes with
+    ``disk=False`` and re-adds the sub-texel disk core analytically
+    (:func:`sun_disk_radiance`, render.py::prepare_sun_sky).
     The grid matches ``GetSphericalUv``'s mapping exactly.
     """
     us = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
@@ -280,17 +283,26 @@ def bake_environment(ss: SunSky, height: int = 512, width: int = 1024) -> jax.Ar
     # Evaluate in row chunks to keep each program small.
     rows = []
     chunk = max(1, (1 << 16) // width)
-    f = jax.jit(lambda d: sun_and_sky(ss, d))
+    f = jax.jit(lambda d: sun_and_sky(ss, d, disk=disk))
     for y0 in range(0, height, chunk):
         rows.append(f(dirs[y0 : y0 + chunk].reshape(-1, 3)))
     out = jnp.concatenate(rows, axis=0).reshape(height, width, 3)
     return jnp.maximum(out, 0.0)
 
 
-def sun_and_sky(ss: SunSky, direction: jax.Array) -> jax.Array:
+def sun_and_sky(
+    ss: SunSky, direction: jax.Array, disk: bool = True
+) -> jax.Array:
     """Radiance of the procedural sky along ``direction`` (..., 3).
 
     Vectorized port of ``sun_and_sky`` (sun_and_sky.glsl:453-601).
+
+    ``disk=False`` (static) drops ONLY the hard sun-disk core term (the
+    ``smoothstep(8.5, ...)`` clause of the sun factor,
+    sun_and_sky.glsl:543-548) while keeping the wide glow. The production
+    sun&sky path bakes the sky without the core (its ~0.27° radius is
+    sub-texel at any practical bake resolution) and re-adds it analytically
+    per miss ray — :func:`sun_disk_radiance` is the exact dropped term.
     """
     horiz_height = ss.horizon_height / 10.0
     d = _vector_tweak(direction, ss.y_is_up, horiz_height)
@@ -333,8 +345,12 @@ def sun_and_sky(ss: SunSky, direction: jax.Array) -> jax.Array:
     sf = (1.0 - sun_angle / jnp.maximum(sun_radius, 1e-9)) * 10.0
     sun_factor = (
         jnp.power(jnp.maximum(sf, 0.0) / 10.0, 3.0) * 2.0 * ss.sun_glow_intensity * glow_scale
-        + smoothstep(8.5, 9.5 + local_haze / 50.0, sf) * 100.0 * ss.sun_disk_intensity * disk_scale
     )
+    if disk:
+        sun_factor = sun_factor + (
+            smoothstep(8.5, 9.5 + local_haze / 50.0, sf)
+            * 100.0 * ss.sun_disk_intensity * disk_scale
+        )
     tint = tint + jnp.where(in_disk[..., None], sun_color * sun_factor[..., None], 0.0)
 
     out_color = tint * rgb_scale
@@ -363,3 +379,106 @@ def sun_and_sky(ss: SunSky, direction: jax.Array) -> jax.Array:
     result = jnp.maximum(out_color, jnp.where(night_factor[..., None] > 0.0, night, 0.0))
     result = result * M_PI
     return jnp.where(ss.multiplier <= 0.0, 0.0, result)
+
+
+# ---------------------------------------------------------------------------
+# Analytic sun disk (hybrid sky): the baked environment drops the hard disk
+# core (sub-texel at any practical bake resolution) and the runtime adds it
+# back analytically — on env miss (ops/env.py::env_radiance) and as a cone
+# NEE strategy (ops/env.py::env_sample), the TPU counterpart of the
+# reference's per-ray disk evaluation (sun_and_sky.glsl:543-548) + sun-cone
+# NEE sample (env_sampling.glsl:110-125).
+# ---------------------------------------------------------------------------
+
+
+def sun_disk_radiance(ss: SunSky, direction: jax.Array) -> jax.Array:
+    """The exact radiance term dropped by ``sun_and_sky(..., disk=False)``.
+
+    ``sun_and_sky(ss, d) == sun_and_sky(ss, d, disk=False)
+    + sun_disk_radiance(ss, d)`` for every direction, up to the night-color
+    floor: the reference takes ``max(out_color, night)`` of the TOTAL
+    (sun_and_sky.glsl:592-596) while the split applies the floor to the
+    disk-less sky only. The difference is bounded by ``night_color``
+    (default luminance ~0.002 vs a disk core ~1e4x brighter) and only at
+    dusk — tests/test_sunsky_disk.py checks the identity with the floor
+    disabled and the bound with it enabled.
+
+    Per-ray cost: one dot, one arccos, one smoothstep + ~20 mults — cheap
+    enough for every miss lane (the full model is ~1000 transcendentals).
+    """
+    horiz_height = ss.horizon_height / 10.0
+    d = _vector_tweak(direction, ss.y_is_up, horiz_height)
+    local_haze = jnp.maximum(2.0 + ss.haze, 2.0)
+    local_sat = _tweak_saturation(ss.saturation, local_haze)
+    rgb_scale = jnp.where(
+        luminance(ss.rgb_unit_conversion) < 0.0,
+        jnp.full((3,), 1.0 / 80000.0),
+        ss.rgb_unit_conversion,
+    ) * ss.multiplier
+
+    downness = d[..., 2]
+    sun_dir0 = _vector_tweak(normalize(ss.sun_direction), ss.y_is_up, horiz_height)
+
+    # Disk core term of sun_factor (sun_and_sky.glsl:543-548).
+    cosang = jnp.clip(jnp.sum(d * sun_dir0, axis=-1), -1.0, 1.0)
+    sun_angle = jnp.arccos(cosang)
+    sun_radius = 0.00465 * ss.sun_disk_scale * 10.0
+    in_disk = (
+        (sun_angle < sun_radius)
+        & (ss.sun_disk_intensity > 0.0)
+        & (ss.sun_disk_scale > 0.0)
+    )
+    disk_scale, _glow_scale = _physical_scale(
+        ss.sun_disk_scale, ss.sun_glow_intensity, ss.sun_disk_intensity
+    )
+    disk_scale = jnp.where(ss.physically_scaled_sun == 1, disk_scale, 1.0)
+    sf = (1.0 - sun_angle / jnp.maximum(sun_radius, 1e-9)) * 10.0
+    disk_term = (
+        smoothstep(8.5, 9.5 + local_haze / 50.0, sf)
+        * 100.0 * ss.sun_disk_intensity * disk_scale
+    )
+    sun_color = _sun_color(
+        normalize(sun_dir0.at[..., 2].set(jnp.maximum(sun_dir0[..., 2], 0.001))),
+        jnp.where(downness > 0.0, local_haze, 2.0),
+    )
+    delta = jnp.where(in_disk[..., None], sun_color * disk_term[..., None], 0.0)
+    delta = delta * rgb_scale
+
+    # Horizon blend scaling: below the horizon the sky blends toward the
+    # ground color (sun_and_sky.glsl:565-583); the disk contributes through
+    # the (1 - dness) sky weight only (zero below with no blur).
+    hor_blur = ss.horizon_blur / 10.0
+    dness = smoothstep(
+        0.0, 1.0, jnp.clip(-downness / jnp.maximum(hor_blur, 1e-9), 0.0, 1.0)
+    )
+    h_scale = jnp.where(
+        downness <= 0.0, jnp.where(hor_blur > 0.0, 1.0 - dness, 0.0), 1.0
+    )
+    delta = delta * h_scale[..., None]
+
+    # Linear color tweak commutes with the split (both blend and tweak are
+    # linear in the radiance).
+    delta = _color_tweak(delta, local_sat, ss.redblueshift)
+    delta = delta * M_PI
+    return jnp.where(ss.multiplier <= 0.0, 0.0, delta)
+
+
+def sun_disk_cone(ss: SunSky):
+    """Sampling cone for the analytic disk: ``(present, axis, cos_theta)``.
+
+    ``axis`` is the normalized WORLD sun direction; ``cos_theta`` the cone
+    half-angle covering the disk-core support (``sf > 8.5`` ⇔ angle <
+    0.15 x glow radius, sun_and_sky.glsl:543) with a 1.25x guard for the
+    horizon-height bend of ``_vector_tweak``. Coverage is a variance knob
+    only — the alias half of the NEE mixture has full-sphere support, so an
+    under-covering cone cannot bias the estimator (ops/env.py::env_sample).
+    """
+    axis = normalize(ss.sun_direction)
+    theta = 0.15 * (0.00465 * ss.sun_disk_scale * 10.0) * 1.25
+    cos_theta = jnp.cos(jnp.minimum(theta, M_PI))
+    present = (
+        (ss.multiplier > 0.0)
+        & (ss.sun_disk_intensity > 0.0)
+        & (ss.sun_disk_scale > 0.0)
+    )
+    return present, axis, cos_theta

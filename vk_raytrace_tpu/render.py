@@ -188,7 +188,14 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
     from .models.schema import EnvAccel, Environment
     from .utils import cache as _cache
 
-    key = _cache.content_key("sunsky-v1", *scene.sun_sky)
+    # Hybrid analytic sun (VKRT_ANALYTIC_SUN=0 reverts to the fully-baked
+    # sky): bake WITHOUT the sub-texel disk core and let the runtime add it
+    # analytically (env_sampling.glsl:105-135 / sun_and_sky.glsl:543-548
+    # semantics the bake alone cannot resolve).
+    analytic_sun = os.environ.get("VKRT_ANALYTIC_SUN", "1") != "0"
+    key = _cache.content_key(
+        "sunsky-v2-nodisk" if analytic_sun else "sunsky-v1", *scene.sun_sky
+    )
     hit = _cache.load(key)
     if hit is not None:
         env = Environment(
@@ -202,7 +209,9 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
         )
         return (
             scene._replace(env=env),
-            dataclasses.replace(cfg, use_sun_sky=False),
+            dataclasses.replace(
+                cfg, use_sun_sky=False, sun_disk=analytic_sun
+            ),
         )
 
     # Bake + alias build run on the CPU backend: these are scene-build
@@ -214,11 +223,11 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
         cpu = None
     if cpu is not None:
         with jax.default_device(cpu):
-            img = bake_environment(scene.sun_sky)
+            img = bake_environment(scene.sun_sky, disk=not analytic_sun)
             env = build_environment(img)
         env = jax.tree.map(lambda a: np.asarray(a), env)
     else:
-        img = bake_environment(scene.sun_sky)
+        img = bake_environment(scene.sun_sky, disk=not analytic_sun)
         env = build_environment(img)
     _cache.save(
         key,
@@ -227,7 +236,7 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
         integral=env.integral, average=env.average, rows=env.rows,
     )
     scene = scene._replace(env=env)
-    cfg = dataclasses.replace(cfg, use_sun_sky=False)
+    cfg = dataclasses.replace(cfg, use_sun_sky=False, sun_disk=analytic_sun)
     return scene, cfg
 
 
