@@ -1,6 +1,7 @@
 """glTF loader tests: synthetic assets written to disk, loaded, rendered."""
 
 import base64
+import os
 import json
 import struct
 
@@ -248,3 +249,40 @@ class TestLoader:
         # First vertex color is red (packed RGBA8)
         c = int(np.asarray(geom.color)[0])
         assert (c & 0xFF) == 255 and ((c >> 8) & 0xFF) == 0
+
+
+class TestQuirksAsset:
+    """Committed binary GLB with real-world quirks (tests/assets/quirks.glb,
+    regenerable via make_quirks_glb.py): interleaved byteStride vertex
+    buffer, a sparse POSITION accessor, normalized uint16 UVs, a
+    TRIANGLE_STRIP primitive, PNG textures with distinct samplers, alpha
+    MASK + unlit materials, shared-mesh nodes, camera + punctual light —
+    tiny_gltf-grade tolerance (scene.cpp:123-155)."""
+
+    ASSET = os.path.join(os.path.dirname(__file__), "assets", "quirks.glb")
+
+    def test_load_both_modes(self):
+        from vk_raytrace_tpu.models.schema import Geometry
+
+        geom, mats, lights, cam, atlas = load_gltf(self.ASSET, instancing="bake")
+        assert isinstance(geom, Geometry)
+        assert len(np.asarray(mats.ior)) == 3
+        assert int(np.asarray(lights.intensity).shape[0]) >= 1
+        assert atlas is not None and cam is not None
+        # sparse override moved two verts of the second mesh up to y=0.5
+        assert float(np.asarray(geom.positions)[:, 1].max()) >= 0.5
+        out, *_ = load_gltf(self.ASSET, instancing="auto")
+        assert isinstance(out, tuple) and not isinstance(out, Geometry)
+
+    def test_render(self):
+        from vk_raytrace_tpu import render as R
+        from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
+
+        geom, mats, lights, cam, atlas = load_gltf(self.ASSET)
+        scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
+        cfg = RenderConfig(width=48, height=48, max_depth=3, max_samples=2,
+                           hdr_multiplier=0.0, pbr_mode=PBR_GLTF, rr=False)
+        r = R.Renderer(scene, cfg)
+        img = np.asarray(r.render(frames=2))
+        assert np.isfinite(img).all()
+        assert img.max() > 0.1  # the emissive + lit quads show up

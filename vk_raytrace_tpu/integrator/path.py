@@ -80,6 +80,8 @@ class PathState(NamedTuple):
     rays: jax.Array         # (R,) i32 rays traced per lane (primary+bounce+shadow)
     bsdf_pdf: jax.Array     # (R,) f32 pdf of the sample that produced this ray
                             #     (0 = camera ray; drives BSDF-side env MIS)
+    tdist: jax.Array        # (R,) f32 accumulated hit distance — the ray-cone
+                            #     length driving texture mip selection
 
 
 def _eval_bsdf(cfg: RenderConfig, state, v, n, l):
@@ -160,6 +162,40 @@ def _debug_info(cfg: RenderConfig, state) -> jax.Array:
     return jnp.full_like(state.normal, jnp.asarray([1000.0, 0.0, 0.0]))
 
 
+def mip_lod_enabled(scene, cfg) -> bool:
+    """Static: ray-cone mip sampling is on when the atlas carries mip
+    chains (models/textures.py, VKRT_MIPS), cfg.mip_sample is set, and
+    VKRT_MIP_SAMPLE != 0 (env read at trace time — a flipped env var needs
+    a fresh process; cfg.mip_sample is the cache-safe switch)."""
+    import os
+
+    return (
+        scene.atlas.mip_x is not None
+        and cfg.mip_sample
+        and os.environ.get("VKRT_MIP_SAMPLE", "1") != "0"
+    )
+
+
+def pixel_spread(scene, height: int):
+    """Angular radius of one pixel's ray cone (Moller ray cones): the
+    vertical fov divided by the image height. proj_inverse[1][1] is
+    tan(fov/2) up to sign (integrator/camera.py)."""
+    import os
+
+    tan_half = jnp.abs(scene.camera.proj_inverse[1, 1])
+    bias = float(os.environ.get("VKRT_MIP_BIAS", "0.0"))
+    return 2.0 * tan_half / jnp.float32(max(height, 1)) * jnp.exp2(bias)
+
+
+def cone_lod(ss, spread, tdist):
+    """Per-lane texture lod (texture-size-independent half): triangle uv
+    density + log2(cone width at the hit). resolve_material adds the
+    per-texture 0.5*log2(w*h) term (integrator/shade.py::_mip_lanes)."""
+    return ss["uv_density"] + jnp.log2(
+        jnp.maximum(spread * tdist, 1e-20)
+    )
+
+
 def trace_paths(
     scene: SceneData,
     packed: AccelBundle,
@@ -195,6 +231,7 @@ def trace_paths(
         steps=jnp.zeros((r,), jnp.int32),
         rays=jnp.zeros((r,), jnp.int32),
         bsdf_pdf=jnp.zeros((r,), jnp.float32),
+        tdist=jnp.zeros((r,), jnp.float32),
     )
 
     alpha_ctx = (
@@ -202,6 +239,8 @@ def trace_paths(
         if (has_alpha and cfg.use_any_hit)
         else None
     )
+    use_mips = mip_lod_enabled(scene, cfg)
+    spread = pixel_spread(scene, cfg.height) if use_mips else None
     p_select_light = 0.5 if cfg.hdr_multiplier > 0.0 else 1.0
     hdr_mult = jnp.float32(cfg.hdr_multiplier)
     want_first_hit_debug = DEBUG_NONE < cfg.debug_mode < DEBUG_RADIANCE
@@ -269,9 +308,11 @@ def trace_paths(
             inst=hit.inst,
             shade_rows=scene.shade_rows,
         )
+        tdist = st.tdist + jnp.where(hit.tri >= 0, jnp.minimum(hit.t, 1e30), 0.0)
+        lod = cone_lod(ss, spread, tdist) if use_mips else None
         state = resolve_material(
             ss, scene.materials, scene.atlas, st.direction, features=features,
-            tap_rows=scene.tap_rows,
+            tap_rows=scene.tap_rows, lod=lod,
         )
 
         debug = st.debug
@@ -405,6 +446,7 @@ def trace_paths(
             steps=steps,
             rays=rays,
             bsdf_pdf=jnp.where(alive, pdf_b, st.bsdf_pdf),
+            tdist=tdist,
         )
 
     # Python loop over static depth -> fully unrolled scan (each depth can

@@ -202,6 +202,25 @@ def get_shade_state(
     uv = jnp.einsum("rk,rkc->rc", bary, uv3)
     color = jnp.einsum("rk,rkc->rc", bary, _unpack_rgba8(c_pk))
 
+    # Triangle uv density: 0.5*log2(uv_area / world_area) — the
+    # texture-independent half of the ray-cone mip term (Moller ray cones;
+    # resolve_material adds 0.5*log2(w*h) per texture). World area uses the
+    # instance-transformed edges in two-level mode. Dead-code-eliminated by
+    # XLA when the integrator doesn't consume it (mips off).
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    if instances is not None:
+        m3w = o2w[:, :, :3]
+        e1 = jnp.einsum("rij,rj->ri", m3w, e1)
+        e2 = jnp.einsum("rij,rj->ri", m3w, e2)
+    area_w = jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    u1 = uv3[:, 1] - uv3[:, 0]
+    u2 = uv3[:, 2] - uv3[:, 0]
+    area_uv = jnp.abs(u1[:, 0] * u2[:, 1] - u1[:, 1] * u2[:, 0])
+    uv_density = 0.5 * jnp.log2(
+        jnp.maximum(area_uv, 1e-20) / jnp.maximum(area_w, 1e-20)
+    )
+
     # Put the shading normal on the geometric side (shade_state.glsl:139-143)
     flip = dot(normal, geom_normal) <= 0.0
     normal = jnp.where(flip[..., None], -normal, normal)
@@ -215,6 +234,7 @@ def get_shade_state(
         uv=uv,
         color=color[..., :3],
         mat_id=mat_id,
+        uv_density=uv_density,
     )
     if prow is not None:
         out["prow"] = prow   # merged material slice: resolve_material skips
@@ -265,7 +285,9 @@ def mat_features(materials: Materials) -> MatFeatures:
 _TEX = ["base", "mr", "normal", "emissive"]  # hot textures: placement inline
 _LAYOUT = [
     ("uvT", 6),                    # uv transform rows [00,01,10,11,20,21]
-    *[(f"{t}_tex", 6) for t in _TEX],  # id, ox, oy, w, h, wrap(ws*3+wt)
+    # id, ox, oy, w, h, wrap(ws*3+wt), mip_x, mip_y (closed-form mip strip
+    # placement, ops/texture.py::mip_placement; -1 = no chain)
+    *[(f"{t}_tex", 8) for t in _TEX],
     ("emissive_factor", 3),
     ("normal_scale", 1),
     ("ior", 1),
@@ -302,6 +324,12 @@ def pack_material_rows(m: Materials, atlas: TextureAtlas) -> jax.Array:
     def tex(tex_id):
         tid = jnp.clip(tex_id, 0, atlas.x.shape[0] - 1)
         f = jnp.float32
+        if atlas.mip_x is not None:
+            mx = atlas.mip_x[tid].astype(f)
+            my = atlas.mip_y[tid].astype(f)
+        else:
+            mx = jnp.full(tid.shape, -1.0, f)
+            my = jnp.full(tid.shape, -1.0, f)
         return [
             tex_id.astype(f),
             atlas.x[tid].astype(f),
@@ -309,6 +337,8 @@ def pack_material_rows(m: Materials, atlas: TextureAtlas) -> jax.Array:
             atlas.width[tid].astype(f),
             atlas.height[tid].astype(f),
             (atlas.wrap_s[tid] * 3 + atlas.wrap_t[tid]).astype(f),
+            mx,
+            my,
         ]
 
     t = m.uv_transform
@@ -352,15 +382,53 @@ def _col(prow, name, n=1):
     return prow[:, o : o + n]
 
 
-def _tap_packed(atlas: TextureAtlas, prow, name, uv, srgb=False):
+def _mip_lanes(prow, o, lod):
+    """Per-lane mip level + placement from the 8 packed texture lanes.
+
+    ``lod`` is the texture-independent footprint log (ray-cone width x
+    triangle uv density, integrator-provided); the per-texture term
+    0.5*log2(w*h) is added here. Nearest-level selection (round) keeps the
+    tap at ONE footprint-row gather — trilinear would double it. Level 0
+    reproduces the mip-less path bit-exactly.
+    """
+    w0 = jnp.maximum(prow[:, o + 3].astype(jnp.int32), 1)
+    h0 = jnp.maximum(prow[:, o + 4].astype(jnp.int32), 1)
+    ox0 = prow[:, o + 1].astype(jnp.int32)
+    oy0 = prow[:, o + 2].astype(jnp.int32)
+    mx = prow[:, o + 6].astype(jnp.int32)
+    my = prow[:, o + 7].astype(jnp.int32)
+    wf, hf = w0.astype(jnp.float32), h0.astype(jnp.float32)
+    n_lvl = jnp.floor(
+        jnp.log2(jnp.maximum(jnp.minimum(wf, hf), 1.0)) + 1e-4
+    ).astype(jnp.int32)
+    lam = lod + 0.5 * jnp.log2(wf * hf)
+    lvl = jnp.clip(jnp.round(lam).astype(jnp.int32), 0, n_lvl)
+    lvl = jnp.where(mx >= 0, lvl, 0)
+    # closed-form strip placement (ops/texture.py::mip_placement)
+    oxl = mx + w0 - (w0 >> jnp.maximum(lvl - 1, 0))
+    wl = jnp.maximum(w0 >> lvl, 1)
+    hl = jnp.maximum(h0 >> lvl, 1)
+    base = lvl == 0
+    return (
+        jnp.where(base, ox0, oxl),
+        jnp.where(base, oy0, my),
+        jnp.where(base, w0, wl),
+        jnp.where(base, h0, hl),
+    )
+
+
+def _tap_packed(atlas: TextureAtlas, prow, name, uv, srgb=False, lod=None):
     """Bilinear tap using the placement lanes already in the packed row:
     4 texel gathers total (vs 6 placement + 4 texel in sample_atlas)."""
     o = _OFFS[name]
     tid = prow[:, o]
-    ox = prow[:, o + 1].astype(jnp.int32)
-    oy = prow[:, o + 2].astype(jnp.int32)
-    w = jnp.maximum(prow[:, o + 3].astype(jnp.int32), 1)
-    h = jnp.maximum(prow[:, o + 4].astype(jnp.int32), 1)
+    if lod is not None:
+        ox, oy, w, h = _mip_lanes(prow, o, lod)
+    else:
+        ox = prow[:, o + 1].astype(jnp.int32)
+        oy = prow[:, o + 2].astype(jnp.int32)
+        w = jnp.maximum(prow[:, o + 3].astype(jnp.int32), 1)
+        h = jnp.maximum(prow[:, o + 4].astype(jnp.int32), 1)
     wrap = prow[:, o + 5].astype(jnp.int32)
     ws, wt = wrap // 3, wrap % 3
 
@@ -434,16 +502,19 @@ def _axis_base(p: jax.Array, size: jax.Array, mode: jax.Array):
     return b, g
 
 
-def _tap_footprint(atlas, tap_rows, prow, name, uv, srgb=False):
+def _tap_footprint(atlas, tap_rows, prow, name, uv, srgb=False, lod=None):
     """Bilinear tap as ONE footprint-row gather (vs 4 texel gathers in
     :func:`_tap_packed`): the (H*W, 4) u32 table from ``build_tap_rows``
     already holds each base texel's wrapped 2x2 neighborhood."""
     o = _OFFS[name]
     tid = prow[:, o]
-    ox = prow[:, o + 1].astype(jnp.int32)
-    oy = prow[:, o + 2].astype(jnp.int32)
-    w = jnp.maximum(prow[:, o + 3].astype(jnp.int32), 1)
-    h = jnp.maximum(prow[:, o + 4].astype(jnp.int32), 1)
+    if lod is not None:
+        ox, oy, w, h = _mip_lanes(prow, o, lod)
+    else:
+        ox = prow[:, o + 1].astype(jnp.int32)
+        oy = prow[:, o + 2].astype(jnp.int32)
+        w = jnp.maximum(prow[:, o + 3].astype(jnp.int32), 1)
+        h = jnp.maximum(prow[:, o + 4].astype(jnp.int32), 1)
     wrap = prow[:, o + 5].astype(jnp.int32)
     ws, wt = wrap // 3, wrap % 3
 
@@ -477,6 +548,7 @@ def resolve_material(
     ray_dir: jax.Array,
     features: MatFeatures | None = None,
     tap_rows: jax.Array | None = None,
+    lod: jax.Array | None = None,
 ) -> SurfState:
     """``GetMaterialsAndTextures`` (gltf_material.glsl:105-193) over the batch.
 
@@ -493,8 +565,10 @@ def resolve_material(
 
     def tap(name, uv, srgb=False):
         if tap_rows is not None:
-            return _tap_footprint(atlas, tap_rows, prow, name, uv, srgb=srgb)
-        return _tap_packed(atlas, prow, name, uv, srgb=srgb)
+            return _tap_footprint(
+                atlas, tap_rows, prow, name, uv, srgb=srgb, lod=lod
+            )
+        return _tap_packed(atlas, prow, name, uv, srgb=srgb, lod=lod)
     ones4 = jnp.ones(prow.shape[:1] + (4,), jnp.float32)
 
     # UV transform: [u, v, 1] @ T (gltf_material.glsl:116)

@@ -45,7 +45,13 @@ from ..ops.lights import sample_light
 from ..ops.math import dot, firefly_luminance, offset_ray, power_heuristic
 from ..ops.traverse import AlphaCtx
 from .camera import generate_rays_for_pixels
-from .path import env_bsdf_mis_weight, nee_strategy_pdf
+from .path import (
+    cone_lod,
+    env_bsdf_mis_weight,
+    mip_lod_enabled,
+    nee_strategy_pdf,
+    pixel_spread,
+)
 from .shade import get_shade_state, resolve_material
 
 
@@ -62,6 +68,8 @@ class PoolState(NamedTuple):
     active: jax.Array       # (P,) bool
     bsdf_pdf: jax.Array     # (P,) f32 pdf of the sample that produced this
                             #     ray (0 = camera ray; BSDF-side env MIS)
+    tdist: jax.Array        # (P,) f32 accumulated hit distance (ray-cone
+                            #     length for texture mip selection)
     next_unit: jax.Array    # ()  i32 units allocated so far
     out: jax.Array          # (U, 3) per-UNIT radiance. A unit is owned by
                             # exactly one lane and terminates exactly once
@@ -112,6 +120,8 @@ def render_units_pooled(
         if (has_alpha and cfg.use_any_hit)
         else None
     )
+    use_mips = mip_lod_enabled(scene, cfg)
+    spread = pixel_spread(scene, h) if use_mips else None
     p_select_light = 0.5 if cfg.hdr_multiplier > 0.0 else 1.0
     hdr_mult = jnp.float32(cfg.hdr_multiplier)
     clamp = jnp.float32(cfg.firefly_clamp)
@@ -148,6 +158,7 @@ def render_units_pooled(
             active=st.active | granted,
             next_unit=st.next_unit + n_granted,
             bsdf_pdf=jnp.where(granted, 0.0, st.bsdf_pdf),
+            tdist=jnp.where(granted, 0.0, st.tdist),
         )
 
     from ..ops.tlas import InstancedAccel, any_hit_instanced, closest_hit_instanced
@@ -178,7 +189,10 @@ def render_units_pooled(
 
     from . import shade_fused
 
-    use_fused_shade = shade_fused.supported(cfg, scene, features, is_instanced)
+    use_fused_shade = (
+        shade_fused.supported(cfg, scene, features, is_instanced)
+        and not use_mips  # level selection not yet in the fused prologue
+    )
 
     def shade_stage_fused(st: PoolState, hit, seed):
         """Pallas-fused shading (integrator/shade_fused.py): same clauses as
@@ -223,9 +237,16 @@ def render_units_pooled(
             inst=hit.inst,
             shade_rows=scene.shade_rows,
         )
+        if use_mips:
+            tdist = st.tdist + jnp.where(
+                hit.tri >= 0, jnp.minimum(hit.t, 1e30), 0.0
+            )
+            lod = cone_lod(ss, spread, tdist)
+        else:
+            lod = None
         state = resolve_material(
             ss, scene.materials, scene.atlas, st.direction, features=features,
-            tap_rows=scene.tap_rows,
+            tap_rows=scene.tap_rows, lod=lod,
         )
 
         # ---- Unlit shortcut (pathtrace.glsl:258-262) ---------------------
@@ -410,6 +431,9 @@ def render_units_pooled(
             it=st.it + 1,
             occ=occ,
             bsdf_pdf=jnp.where(alive, pdf_b, st.bsdf_pdf),
+            tdist=st.tdist + jnp.where(
+                st.active & (hit.tri >= 0), jnp.minimum(hit.t, 1e30), 0.0
+            ),
         )
 
     def iteration(st: PoolState) -> PoolState:
@@ -432,7 +456,7 @@ def render_units_pooled(
             direction=g(st.direction), radiance=g(st.radiance),
             throughput=g(st.throughput), absorption=g(st.absorption),
             seed=g(st.seed), depth=g(st.depth), active=g(st.active),
-            bsdf_pdf=g(st.bsdf_pdf),
+            bsdf_pdf=g(st.bsdf_pdf), tdist=g(st.tdist),
         )
 
     def cond(st: PoolState) -> jax.Array:
@@ -452,6 +476,7 @@ def render_units_pooled(
         depth=jnp.zeros((p,), jnp.int32),
         active=jnp.zeros((p,), bool),
         bsdf_pdf=jnp.zeros((p,), jnp.float32),
+        tdist=jnp.zeros((p,), jnp.float32),
         next_unit=jnp.asarray(0, jnp.int32),
         out=jnp.zeros((total_units, 3), jnp.float32),
         steps=jnp.zeros((n_pix,), jnp.int32),

@@ -143,6 +143,17 @@ class TextureAtlas(NamedTuple):
     height: jax.Array  # (N,) i32
     wrap_s: jax.Array  # (N,) i32: 0 repeat, 1 clamp, 2 mirror
     wrap_t: jax.Array  # (N,) i32
+    # Mip chain strips (models/textures.py, VKRT_MIPS=0 disables): level
+    # l >= 1 of texture t lives at (mip_x[t] + w - (w >> (l-1)), mip_y[t])
+    # with size (max(w>>l,1), max(h>>l,1)) — a closed-form placement, so
+    # per-lane level selection needs NO extra placement gathers
+    # (ops/texture.py::mip_placement). -1 = no mips for that texture.
+    # The reference generates mips per scene texture with vkCmdBlitImage
+    # (scene.cpp:447-580); its RT integrator samples LOD 0 everywhere
+    # (gltf_material.glsl textureLod(...,0)), so mip SAMPLING here is a
+    # quality extension (ray-cone LOD), not a parity requirement.
+    mip_x: Optional[jax.Array] = None  # (N,) i32
+    mip_y: Optional[jax.Array] = None  # (N,) i32
 
 
 class EnvAccel(NamedTuple):
@@ -324,6 +335,10 @@ class RenderConfig:
     debug_mode: int = DEBUG_NONE
     pbr_mode: int = PBR_DISNEY
     use_sun_sky: bool = False
+    # Ray-cone texture mip sampling (integrator/shade.py::_mip_lanes):
+    # active when True AND the atlas carries mip chains (VKRT_MIPS). Part
+    # of the static jit key — prefer this over env toggles mid-process.
+    mip_sample: bool = True
     # Hybrid analytic sun (production sun&sky path): prepare_sun_sky bakes
     # the sky WITHOUT the sub-texel disk core and sets this, so misses add
     # the core analytically and NEE mixes in a sun-cone strategy

@@ -51,26 +51,57 @@ class AtlasBuilder:
         self._wraps.append((ws, wt))
         return len(self._images) - 1
 
-    def build(self) -> TextureAtlas:
+    def build(self, mips: bool | None = None) -> TextureAtlas:
+        """``mips`` (default: on, VKRT_MIPS=0 disables): also pack each
+        texture's mip chain as a (w, h/2) strip with the closed-form level
+        layout of ``ops/texture.py::mip_placement`` — the analog of the
+        reference's per-texture vkCmdBlitImage mip generation
+        (scene.cpp:447-580). Textures with min dim 1 get no chain."""
+        import os
+
+        from ..ops.texture import downsample_2x2, n_mip_levels
+
+        if mips is None:
+            mips = os.environ.get("VKRT_MIPS", "1") != "0"
         assert self._images, "no textures added"
         n = len(self._images)
-        order = sorted(range(n), key=lambda i: -self._images[i].shape[0])
+        # Rects to place: base images first, then mip strips (as synthetic
+        # rects holding the pre-rendered level chain).
+        rects = [im.shape[:2] for im in self._images]  # (h, w)
+        strips: list[np.ndarray | None] = [None] * n
+        if mips:
+            for i, im in enumerate(self._images):
+                h, w = im.shape[:2]
+                levels = int(n_mip_levels(w, h))
+                if levels < 1:
+                    continue
+                strip = np.zeros((max(h // 2, 1), w, 4), np.uint8)
+                cur = im
+                for lvl in range(1, levels + 1):
+                    cur = downsample_2x2(cur)
+                    lx = w - (w >> (lvl - 1))
+                    strip[: cur.shape[0], lx : lx + cur.shape[1]] = cur
+                strips[i] = strip
+                rects.append(strip.shape[:2])
+
+        order = sorted(range(len(rects)), key=lambda i: -rects[i][0])
         atlas_w = min(
             self.max_dim,
             max(
-                1 << int(np.ceil(np.log2(max(im.shape[1] for im in self._images)))),
+                1 << int(np.ceil(np.log2(max(r[1] for r in rects)))),
                 256,
             ),
         )
 
-        xs = np.zeros(n, np.int64)
-        ys = np.zeros(n, np.int64)
+        m = len(rects)
+        xs = np.zeros(m, np.int64)
+        ys = np.zeros(m, np.int64)
         shelf_y = 0
         shelf_h = 0
         cur_x = 0
         for i in order:
-            h, w = self._images[i].shape[:2]
-            assert w <= atlas_w, f"texture {i} wider than atlas ({w} > {atlas_w})"
+            h, w = rects[i]
+            assert w <= atlas_w, f"rect {i} wider than atlas ({w} > {atlas_w})"
             if cur_x + w > atlas_w:
                 shelf_y += shelf_h
                 cur_x = 0
@@ -86,13 +117,25 @@ class AtlasBuilder:
         for i, im in enumerate(self._images):
             h, w = im.shape[:2]
             data[ys[i] : ys[i] + h, xs[i] : xs[i] + w] = im
+        mip_x = np.full(n, -1, np.int64)
+        mip_y = np.full(n, -1, np.int64)
+        j = n
+        for i, strip in enumerate(strips):
+            if strip is None:
+                continue
+            h, w = strip.shape[:2]
+            data[ys[j] : ys[j] + h, xs[j] : xs[j] + w] = strip
+            mip_x[i], mip_y[i] = xs[j], ys[j]
+            j += 1
 
         return TextureAtlas(
             data=np.asarray(data),
-            x=np.asarray(xs, np.int32),
-            y=np.asarray(ys, np.int32),
+            x=np.asarray(xs[:n], np.int32),
+            y=np.asarray(ys[:n], np.int32),
             width=np.asarray([im.shape[1] for im in self._images], np.int32),
             height=np.asarray([im.shape[0] for im in self._images], np.int32),
             wrap_s=np.asarray([w[0] for w in self._wraps], np.int32),
             wrap_t=np.asarray([w[1] for w in self._wraps], np.int32),
+            mip_x=np.asarray(mip_x, np.int32),
+            mip_y=np.asarray(mip_y, np.int32),
         )

@@ -23,6 +23,64 @@ WRAP_CLAMP = 1
 WRAP_MIRROR = 2
 
 
+# ---------------------------------------------------------------------------
+# Mip chain layout (VERDICT r3 item 6).
+#
+# Level l >= 1 of a (w0, h0) texture lives in a dedicated strip at
+# (mip_x, mip_y) in the atlas:
+#
+#     ox(l) = mip_x + w0 - (w0 >> (l-1))      # closed form, no gathers
+#     oy(l) = mip_y
+#     size  = (max(w0 >> l, 1), max(h0 >> l, 1))
+#
+# Non-overlap: 2*(w0>>l) <= w0>>(l-1) for floor shifts, so level l ends at
+# or before level l+1 starts, and the strip fits in (w0, max(h0>>1, 1)).
+# The closed form means a per-lane level pick costs zero extra placement
+# gathers — the material row only carries (mip_x, mip_y) per texture.
+# ---------------------------------------------------------------------------
+
+
+def n_mip_levels(w0, h0):
+    """Number of levels ABOVE the base (levels 1..n all have both dims of
+    w0>>l, h0>>l >= 1): floor(log2(min(w0, h0)))."""
+    import numpy as np
+
+    m = np.minimum(np.asarray(w0), np.asarray(h0)).astype(np.int64)
+    return np.where(m > 0, np.floor(np.log2(np.maximum(m, 1))), 0).astype(
+        np.int32
+    )
+
+
+def mip_placement(mip_x, mip_y, w0, h0, lvl):
+    """(ox, oy, w, h) of mip level ``lvl`` (traced ints OK; lvl==0 returns
+    garbage offsets — callers select the base placement for level 0)."""
+    ox = mip_x + w0 - (w0 >> jnp.maximum(lvl - 1, 0))
+    w = jnp.maximum(w0 >> lvl, 1)
+    h = jnp.maximum(h0 >> lvl, 1)
+    return ox, mip_y, w, h
+
+
+def downsample_2x2(img):
+    """One mip step: 2x2 box average with edge clamping on odd dims
+    (uint8 (H, W, 4) -> (max(H//2,1), max(W//2,1), 4)). Linear-space-naive
+    on sRGB data — matching the reference's vkCmdBlitImage mip generation,
+    which also averages raw texel values (scene.cpp mipmap blits)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    a = img.astype(np.uint16)
+    x0 = np.minimum(np.arange(w2) * 2, w - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y0 = np.minimum(np.arange(h2) * 2, h - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    s = (
+        a[y0][:, x0].astype(np.uint32) + a[y0][:, x1]
+        + a[y1][:, x0] + a[y1][:, x1]
+    )
+    return ((s + 2) // 4).astype(np.uint8)
+
+
 def _wrap(coord: jax.Array, size: jax.Array, mode: jax.Array) -> jax.Array:
     """Apply the per-texture wrap mode to integer texel coords."""
     size = jnp.maximum(size, 1)
@@ -122,21 +180,35 @@ def build_tap_rows(atlas: TextureAtlas):
     hs_t = np.asarray(atlas.height)
     wraps = np.asarray(atlas.wrap_s)
     wrapt = np.asarray(atlas.wrap_t)
-    for t in range(n):
-        ox, oy = int(xs_t[t]), int(ys_t[t])
-        w, h = int(ws_t[t]), int(hs_t[t])
-        if w <= 0 or h <= 0:
-            continue
+    mx_t = np.asarray(atlas.mip_x) if atlas.mip_x is not None else None
+    my_t = np.asarray(atlas.mip_y) if atlas.mip_y is not None else None
+
+    def fill_rect(ox, oy, w, h, ws_mode, wt_mode):
         xs = np.arange(w)
         ys = np.arange(h)
-        nx = neighbor(xs, w, int(wraps[t]))
-        ny = neighbor(ys, h, int(wrapt[t]))
+        nx = neighbor(xs, w, ws_mode)
+        ny = neighbor(ys, h, wt_mode)
         sub = u32[oy : oy + h, ox : ox + w]
         flat = ((oy + ys)[:, None] * w_a + (ox + xs)[None, :]).ravel()
         rows[flat, 0] = sub.ravel()
         rows[flat, 1] = sub[:, nx].ravel()
         rows[flat, 2] = sub[ny, :].ravel()
         rows[flat, 3] = sub[ny][:, nx].ravel()
+
+    for t in range(n):
+        ox, oy = int(xs_t[t]), int(ys_t[t])
+        w, h = int(ws_t[t]), int(hs_t[t])
+        if w <= 0 or h <= 0:
+            continue
+        fill_rect(ox, oy, w, h, int(wraps[t]), int(wrapt[t]))
+        # Mip level rects get their own wrapped footprints (each level wraps
+        # within ITS rect, same modes as the base texture).
+        if mx_t is not None and mx_t[t] >= 0:
+            for lvl in range(1, int(n_mip_levels(w, h)) + 1):
+                lx = int(mx_t[t]) + w - (w >> (lvl - 1))
+                lw, lh = max(w >> lvl, 1), max(h >> lvl, 1)
+                fill_rect(lx, int(my_t[t]), lw, lh,
+                          int(wraps[t]), int(wrapt[t]))
     return rows
 
 

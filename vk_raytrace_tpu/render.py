@@ -240,6 +240,25 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
     return scene, cfg
 
 
+# Env toggles that change TRACED behavior (which kernel path, ablations,
+# tiering). They must ride in the jit key: two traces with identical
+# (treedef, avals, statics) but different toggle values are DIFFERENT
+# programs — an env-blind cache serves one variant's executable for the
+# other (the round-3 "Execution supplied N buffers but compiled program
+# expected M" failure class, and silently-vacuous A/B comparisons).
+_TRACE_ENVS = (
+    "VKRT_FUSED", "VKRT_FUSED_SHADE", "VKRT_FUSED_ALPHA", "VKRT_TIERS",
+    "VKRT_ABLATE", "VKRT_MIP_SAMPLE", "VKRT_MERGED_MAT", "VKRT_UNROLL",
+    "VKRT_NOALIAS", "VKRT_BLK", "VKRT_PHASE_DIVS", "VKRT_ANALYTIC_SUN",
+)
+
+
+def trace_env_key() -> tuple:
+    """Static jit-key component capturing every VKRT_* env toggle read
+    during tracing; callers pass it as the jitted entry points' env_key."""
+    return tuple(os.environ.get(k, "") for k in _TRACE_ENVS)
+
+
 def render_strip_impl(
     scene: SceneData,
     packed: AccelBundle,
@@ -249,6 +268,8 @@ def render_strip_impl(
     frame: jax.Array,   # () i32
     has_alpha: bool,
     features=None,      # static MatFeatures (integrator/shade.py)
+    env_key=(),         # static trace-env key (trace_env_key); unused in
+                        # the body — cache-correctness only
 ) -> jax.Array:
     """``maxSamples`` full paths per pixel for one row strip, averaged.
 
@@ -273,13 +294,16 @@ def render_strip_impl(
 
 
 render_strip = functools.partial(
-    jax.jit, static_argnames=("cfg", "n_rows", "has_alpha", "features")
+    jax.jit,
+    static_argnames=("cfg", "n_rows", "has_alpha", "features", "env_key"),
 )(render_strip_impl)
 
 
 def render_pool_impl(
-    scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool, features=None
+    scene, packed, cfg, frame, has_alpha, pix0, n_pix, pool, features=None,
+    env_key=(),
 ):
+    del env_key  # jit-key only (trace_env_key)
     from .integrator.wavefront import render_units_pooled
 
     return render_units_pooled(
@@ -289,7 +313,9 @@ def render_pool_impl(
 
 
 render_pool = functools.partial(
-    jax.jit, static_argnames=("cfg", "has_alpha", "n_pix", "pool", "features")
+    jax.jit,
+    static_argnames=("cfg", "has_alpha", "n_pix", "pool", "features",
+                     "env_key"),
 )(render_pool_impl)
 
 # Pooled-dispatch sizing: paths per device program (watchdog bound) and the
@@ -448,7 +474,7 @@ class Renderer:
             out, steps, rays = render_pool(
                 self.scene, self.packed, cfg, frame, self.has_alpha,
                 jnp.asarray(i * n_pix, jnp.int32), n_pix, pool,
-                features=self.features,
+                features=self.features, env_key=trace_env_key(),
             )
             parts.append(out)
             ray_counts.append(rays)
@@ -465,7 +491,7 @@ class Renderer:
                 render_strip(
                     self.scene, self.packed, self._run_cfg,
                     jnp.asarray(row0, jnp.int32), rows, frame, self.has_alpha,
-                    features=self.features,
+                    features=self.features, env_key=trace_env_key(),
                 )
             )
         return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]

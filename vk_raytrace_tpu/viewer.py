@@ -104,6 +104,54 @@ class OrbitCamera:
             self.width / self.height, self.focal, self.aperture,
         )
 
+    # -- bookmarks (ImGuiH camera JSON analog, scene.cpp:282) --------------
+    def to_dict(self) -> dict:
+        return {
+            "eye": [float(v) for v in self.eye],
+            "center": [float(v) for v in self.center],
+            "up": [float(v) for v in self.up],
+            "fov": self.fov,
+            "focal": self.focal,
+            "aperture": self.aperture,
+        }
+
+    def from_dict(self, d: dict) -> None:
+        self.eye = np.asarray(d["eye"], np.float64)
+        self.center = np.asarray(d["center"], np.float64)
+        self.up = np.asarray(d.get("up", [0, 1, 0]), np.float64)
+        self.fov = float(d.get("fov", self.fov))
+        self.focal = float(d.get("focal", self.focal))
+        self.aperture = float(d.get("aperture", self.aperture))
+
+
+def _bookmark_path(scene_arg: str) -> str:
+    """Per-scene camera persistence file: next to a real scene file
+    (``<scene>.cameras.json``, like the reference's per-scene ImGuiH camera
+    JSON), or under the cache dir for procedural scene names."""
+    if os.path.exists(scene_arg):
+        return scene_arg + ".cameras.json"
+    base = os.environ.get(
+        "VKRT_SCENE_CACHE", os.path.expanduser("~/.cache/vkrt_scene")
+    )
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, f"cameras-{scene_arg}.json")
+
+
+def load_bookmarks(scene_arg: str) -> list:
+    try:
+        with open(_bookmark_path(scene_arg)) as f:
+            return json.load(f)
+    except Exception:
+        return []
+
+
+def save_bookmarks(scene_arg: str, marks: list) -> None:
+    try:
+        with open(_bookmark_path(scene_arg), "w") as f:
+            json.dump(marks, f, indent=1)
+    except OSError:
+        pass
+
 
 # ----------------------------------------------------------------------------
 # PNG encoding (stdlib only)
@@ -248,6 +296,10 @@ summary{color:#ca8;cursor:pointer}
   <label>sun disk scale <span class="v" id="v_sunscale">1</span><input type="range" id="sunscale" min="0.1" max="10" step="0.1" value="1"></label>
   <label>sun glow <span class="v" id="v_sunglow">1</span><input type="range" id="sunglow" min="0" max="5" step="0.1" value="1"></label>
  </details>
+ <details open><summary>bookmarks</summary>
+  <button id="bmsave">save view</button> <button id="bmclear">clear</button>
+  <div id="bmlist"></div>
+ </details>
  <details open><summary>statistics</summary><div id="stats"></div></details>
  <details open><summary>profiler</summary><div id="prof"></div></details>
  <div id="pick">click image to pick (sets orbit pivot)</div>
@@ -285,13 +337,27 @@ for (const id of sliders)
 for (const id of ['debug','pbr','tonemode','autoexp'])
   document.getElementById(id).onchange = e => post({cmd:'set',key:id,value:+e.target.value});
 document.getElementById('renderer').onchange = e => post({cmd:'set',key:'renderer',value:e.target.value});
+document.getElementById('bmsave').onclick = () => post({cmd:'bookmark_save'});
+document.getElementById('bmclear').onclick = () => post({cmd:'bookmark_clear'});
+let bmCount = -1;
+function renderBookmarks(n){
+  if (n === bmCount) return; bmCount = n;
+  const el = document.getElementById('bmlist'); el.innerHTML = '';
+  for (let i = 0; i < n; i++) {
+    const b = document.createElement('button');
+    b.textContent = 'cam ' + (i+1);
+    b.onclick = () => post({cmd:'bookmark_goto',index:i});
+    el.appendChild(b);
+  }
+}
 for (const id of ['pause','dither','sunsky'])
   document.getElementById(id).onchange = e => post({cmd:'set',key:id,value:e.target.checked?1:0});
 async function tick(){
   img.src = '/frame.png?t=' + Date.now();
   const s = await (await fetch('/state')).json();
   document.getElementById('stats').textContent = s.stats || '';
-  document.getElementById('prof').textContent = s.prof || '';
+  document.getElementById('prof').textContent = (s.busy ? 'BUSY: loading scene...\n' : '') + (s.prof || '');
+  renderBookmarks(s.bookmarks || 0);
 }
 setInterval(tick, 700); tick();
 </script></body></html>"""
@@ -305,6 +371,8 @@ class ViewerService:
         self._frame_png = _png_bytes(np.zeros((args.size[1], args.size[0], 3)))
         self._state = {"frame": 0, "spp": 0, "ms_per_frame": 0}
         self._stop = False
+        self._busy = False
+        self._bookmarks = load_bookmarks(args.scene)
         self._scene_path = args.scene if os.path.exists(args.scene) else None
         self._mtime = os.path.getmtime(self._scene_path) if self._scene_path else 0
 
@@ -372,6 +440,27 @@ class ViewerService:
             dirty_cam = False
             for c in controls:
                 cmd = c.get("cmd")
+                if cmd == "_swap":
+                    # async reload finished (see _load_async below)
+                    self._scene0 = c["scene"]
+                    r = c["renderer"]
+                    cam = c["cam"]
+                    self._cam = cam
+                    continue
+                if cmd == "bookmark_save":
+                    self._bookmarks.append(cam.to_dict())
+                    save_bookmarks(args.scene, self._bookmarks)
+                    continue
+                if cmd == "bookmark_goto":
+                    i = int(c.get("index", -1))
+                    if 0 <= i < len(self._bookmarks):
+                        cam.from_dict(self._bookmarks[i])
+                        dirty_cam = True
+                    continue
+                if cmd == "bookmark_clear":
+                    self._bookmarks = []
+                    save_bookmarks(args.scene, self._bookmarks)
+                    continue
                 if cmd == "orbit":
                     cam.orbit(c["dx"], c["dy"]); dirty_cam = True
                 elif cmd == "dolly":
@@ -461,24 +550,39 @@ class ViewerService:
                 r.scene = r.scene._replace(camera=cam.camera())
                 r.reset()
 
-            # Asset hot-reload (drop/reload analog).
-            if self._scene_path:
+            # Asset hot-reload (drop/reload analog). The reference loads on
+            # a detached thread behind a busy flag so the frame loop keeps
+            # presenting (main.cpp:183-191, sample_example.cpp:119-162);
+            # same here: the scene build + Renderer construction run on a
+            # worker thread and the finished renderer is swapped in at the
+            # top of a frame. The old scene keeps rendering meanwhile.
+            if self._scene_path and not self._busy:
                 m = os.path.getmtime(self._scene_path)
                 if m != self._mtime:
                     self._mtime = m
-                    try:
-                        scene, env = C.load_scene_from_args(args)
-                        self._scene0 = scene
-                        r = R.Renderer(scene, cfg, tonemapper=r.tonemapper)
-                        pos = np.asarray(scene.geometry.positions)
-                        cam = OrbitCamera(
-                            scene.camera, w, h,
-                            bounds=(pos.min(axis=0), pos.max(axis=0))
-                            if len(pos) else None,
-                        )
-                        self._cam = cam
-                    except Exception:
-                        pass
+                    self._busy = True
+
+                    def _load_async(cfg=cfg, tm=r.tonemapper):
+                        try:
+                            scene, env = C.load_scene_from_args(args)
+                            nr = R.Renderer(scene, cfg, tonemapper=tm)
+                            pos = np.asarray(scene.geometry.positions)
+                            nc = OrbitCamera(
+                                scene.camera, w, h,
+                                bounds=(pos.min(axis=0), pos.max(axis=0))
+                                if len(pos) else None,
+                            )
+                            with self._lock:
+                                self._controls.append(
+                                    {"cmd": "_swap", "scene": scene,
+                                     "renderer": nr, "cam": nc}
+                                )
+                        except Exception:
+                            pass
+                        finally:
+                            self._busy = False
+
+                    threading.Thread(target=_load_async, daemon=True).start()
 
             if pause:
                 time.sleep(0.1)
@@ -494,6 +598,8 @@ class ViewerService:
                 self._renderer = r
                 self._state = {
                     "frame": r.frame,
+                    "busy": self._busy,
+                    "bookmarks": len(self._bookmarks),
                     "stats": _scene_stats(r),
                     "prof": _prof_stats(r, t_frame, cfg),
                 }
