@@ -325,6 +325,30 @@ MAX_PATHS_PER_DISPATCH = int(os.environ.get("VKRT_DISPATCH", 1 << 21))
 POOL_LANES = int(os.environ.get("VKRT_POOL", 1 << 19))
 
 
+def _dispatch_with_cache_repair(jitted, *args, **kw):
+    """Dispatch a jitted entry point, repairing a jax jit-cache
+    inconsistency observed across scene switches in one process.
+
+    Reproducer (standalone, jax 0.9 CPU): render scene A through
+    render_pool, then build an INSTANCED scene B and step it twice — frame
+    0 compiles and runs, frame 1's fastpath dispatch fails with
+    ``INVALID_ARGUMENT: Execution supplied 29 buffers but compiled program
+    expected 31 buffers`` (the cached executable and the fastpath's
+    pruned-argument bookkeeping disagree; the args' pytree has no
+    duplicate leaves and the jit key — including trace_env_key — is
+    unique). ``clear_cache()`` + retry recompiles and every subsequent
+    frame is fine, so this wrapper repairs exactly that case and re-raises
+    anything else. Cost when triggered: one retrace.
+    """
+    try:
+        return jitted(*args, **kw)
+    except ValueError as e:
+        if "buffers but compiled program expected" not in str(e):
+            raise
+        jitted.clear_cache()
+        return jitted(*args, **kw)
+
+
 def render_frame_impl(
     scene: SceneData,
     packed: AccelBundle,
@@ -471,7 +495,8 @@ class Renderer:
         # ray counter per dispatch would sync and serialize the pipeline
         # (dispatch k+1 should be enqueued while k runs on device).
         for i in range(n):
-            out, steps, rays = render_pool(
+            out, steps, rays = _dispatch_with_cache_repair(
+                render_pool,
                 self.scene, self.packed, cfg, frame, self.has_alpha,
                 jnp.asarray(i * n_pix, jnp.int32), n_pix, pool,
                 features=self.features, env_key=trace_env_key(),
@@ -488,7 +513,8 @@ class Renderer:
         strips = []
         for row0 in range(0, h, rows):
             strips.append(
-                render_strip(
+                _dispatch_with_cache_repair(
+                    render_strip,
                     self.scene, self.packed, self._run_cfg,
                     jnp.asarray(row0, jnp.int32), rows, frame, self.has_alpha,
                     features=self.features, env_key=trace_env_key(),
