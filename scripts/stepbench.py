@@ -62,7 +62,6 @@ def main():
 
     def build_scan(stack_depth, gather, alias):
         n_meta = 8
-        srows = n_meta + stack_depth
         kern = TF._make_step_kernel(
             True, False, stack_depth, W, candidates=False,
             n_rows=int(rows.shape[0]),
@@ -72,10 +71,10 @@ def main():
         else:
             os.environ.pop("VKRT_NOALIAS", None)
 
-        def step(rows_in, oo, dd, ii, cur, rowid, st):
+        def step(rows_in, oo, dd, ii, cur, rowid, meta, stack):
             if gather:
                 return TF._step(rows_in, kern, stack_depth, W, n_meta,
-                                oo, dd, ii, cur, rowid, st)
+                                oo, dd, ii, cur, rowid, meta, stack)
             # no-gather variant: a contiguous slice stands in for the row
             # block (timing only; traversal results are wrong)
             from jax.experimental import pallas as pl
@@ -96,37 +95,37 @@ def main():
                 in_specs=[
                     pl.BlockSpec((TF.BLK, W * 8), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(srows),
+                    cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
+                    cmaj(stack_depth),
                 ],
-                out_specs=[cmaj(1), cmaj(1), cmaj(srows)],
+                out_specs=[cmaj(1), cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
                 out_shape=[
                     jax.ShapeDtypeStruct((1, P), jnp.int32),
                     jax.ShapeDtypeStruct((1, P), jnp.int32),
-                    jax.ShapeDtypeStruct((srows, P), jnp.int32),
+                    jax.ShapeDtypeStruct((n_meta, P), jnp.float32),
+                    jax.ShapeDtypeStruct((stack_depth, P), jnp.int32),
                 ],
                 input_output_aliases=(
-                    {4: 0, 5: 1, 6: 2} if alias else {}
+                    {4: 0, 5: 1, 6: 2, 7: 3} if alias else {}
                 ),
                 interpret=TF._interpret_mode(),
-            )(row, oo, dd, ii, cur, rowid, st)
+            )(row, oo, dd, ii, cur, rowid, meta, stack)
 
         @jax.jit
-        def run(cur, rowid, st):
+        def run(cur, rowid, meta, stack):
             def body(s, _):
                 return step(rows, o4, d4, i4, *s), None
-            (cur, rowid, st), _ = jax.lax.scan(
-                body, (cur, rowid, st), None, length=8
+            (cur, rowid, meta, stack), _ = jax.lax.scan(
+                body, (cur, rowid, meta, stack), None, length=8
             )
-            return cur.sum(), st.sum()
+            return cur.sum(), meta.sum()
 
         cur0 = jnp.zeros((1, P), jnp.int32)
         rowid0 = jnp.zeros((1, P), jnp.int32)
         meta0 = jnp.zeros((8, P), jnp.float32).at[1].set(1e30)
         meta0 = meta0.at[2].set(-1.0)
-        st0 = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(meta0, jnp.int32),
-             jnp.zeros((stack_depth, P), jnp.int32)], axis=0)
-        return run, (cur0, rowid0, st0)
+        stack0 = jnp.zeros((stack_depth, P), jnp.int32)
+        return run, (cur0, rowid0, meta0, stack0)
 
     variants = sys.argv[1:] or ["base", "stack8", "nogather", "noalias"]
     specs = {

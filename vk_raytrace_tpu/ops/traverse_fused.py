@@ -238,32 +238,18 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
     LT = W // 2                 # leaf triangles per row
     CB = LT.bit_length() - 1    # leaf-count bits: 4 tris -> 2, 8 tris -> 3
 
-    n_meta = _META_CAND if candidates else _META
-
-    def kern(row_ref, o_ref, d_ref, i_ref, cur_ref, rowid_ref, st_ref,
-             ncur_ref, nrowid_ref, nst_ref):
+    def kern(row_ref, o_ref, d_ref, i_ref, cur_ref, rowid_ref, meta_ref,
+             stack_ref, ncur_ref, nrowid_ref, nmeta_ref, nstack_ref):
         del rowid_ref  # consumed by the XLA row gather, carried through here
-        # Persistent per-lane state rides ONE i32 array: meta planes
-        # (f32 bits, exact in i32 lanes) at [0:n_meta], the stack below.
-        # Merging them makes the loop-varying carry too big for XLA's
-        # memory-space assignment to promote to VMEM — as separate arrays
-        # the 16 MB meta was async-copied INTO alternate memory and back
-        # out EVERY step (~1 ms/step of the round-4 frame trace), while the
-        # loop-INVARIANT o/d/i operands are promoted once per phase (good).
-        def meta_pl(a, b=None):
-            b = a + 1 if b is None else b
-            return pltpu.bitcast(st_ref[a:b, :], jnp.float32)
-
         rowT = row_ref[:].T                     # one in-VMEM transpose
         cur = cur_ref[:]                        # (1, B) i32
-        depth = st_ref[_M_DEPTH:_M_DEPTH + 1, :]  # kept as exact-f32 bits
-        depth = pltpu.bitcast(depth, jnp.float32).astype(jnp.int32)
-        t_best = meta_pl(_M_T)
+        depth = meta_ref[_M_DEPTH:_M_DEPTH + 1, :].astype(jnp.int32)
+        t_best = meta_ref[_M_T:_M_T + 1, :]
         if candidates:
             # Candidate updates only ever lower c_t, so pruning interior
             # visits by min(t_best, c_t) is exact for the nearest-candidate
             # query (the alpha tree never updates t_best).
-            c_t = meta_pl(_M_CT)
+            c_t = meta_ref[_M_CT:_M_CT + 1, :]
             t_prune = jnp.minimum(t_best, c_t)
         else:
             t_prune = t_best
@@ -312,7 +298,7 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
             val = val + sref[c:c + 1, :] * (kk == c)
         do_push = is_wide & has_child
         push_sel = do_push & (jj >= 0) & (kk >= 1)
-        stack_old = st_ref[n_meta:, :]
+        stack_old = stack_ref[:]
         new_stack = jnp.where(push_sel, val.astype(jnp.int32), stack_old)
         n_push = jnp.where(do_push, n_valid - 1, 0)
         new_depth = jnp.minimum(depth + n_push, stack_depth)
@@ -392,9 +378,9 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         bt = t_cand[0:1, :]
         upd = bt < t_best
         new_t = jnp.where(upd, bt, t_best)
-        new_tri = jnp.where(upd, o_cand[0:1, :], meta_pl(_M_TRI))
-        new_u = jnp.where(upd, u_cand[0:1, :], meta_pl(_M_U))
-        new_v = jnp.where(upd, v_cand[0:1, :], meta_pl(_M_V))
+        new_tri = jnp.where(upd, o_cand[0:1, :], meta_ref[_M_TRI:_M_TRI + 1, :])
+        new_u = jnp.where(upd, u_cand[0:1, :], meta_ref[_M_U:_M_U + 1, :])
+        new_v = jnp.where(upd, v_cand[0:1, :], meta_ref[_M_V:_M_V + 1, :])
 
         if candidates:
             # Candidate slot: texture UV interpolated from the leaf uv
@@ -408,11 +394,11 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
             cbt = ct_c[0:1, :]
             cupd = cbt < c_t
             new_ct = jnp.where(cupd, cbt, c_t)
-            new_ctri = jnp.where(cupd, co_c[0:1, :], meta_pl(_M_CTRI))
-            new_cu = jnp.where(cupd, cu_c[0:1, :], meta_pl(_M_CU))
-            new_cv = jnp.where(cupd, cv_c[0:1, :], meta_pl(_M_CV))
-            new_ctu = jnp.where(cupd, ctu_c[0:1, :], meta_pl(_M_CUVU))
-            new_ctv = jnp.where(cupd, ctv_c[0:1, :], meta_pl(_M_CUVV))
+            new_ctri = jnp.where(cupd, co_c[0:1, :], meta_ref[_M_CTRI:_M_CTRI + 1, :])
+            new_cu = jnp.where(cupd, cu_c[0:1, :], meta_ref[_M_CU:_M_CU + 1, :])
+            new_cv = jnp.where(cupd, cv_c[0:1, :], meta_ref[_M_CV:_M_CV + 1, :])
+            new_ctu = jnp.where(cupd, ctu_c[0:1, :], meta_ref[_M_CUVU:_M_CUVU + 1, :])
+            new_ctv = jnp.where(cupd, ctv_c[0:1, :], meta_ref[_M_CUVV:_M_CUVV + 1, :])
 
         # ---- next node ---------------------------------------------------
         next_cur = jnp.where(is_wide & has_child, near_ref, TERM)
@@ -436,28 +422,27 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         nrow = jnp.where(next_cur >= 0, next_cur, nvleaf >> CB)
         nrow = jnp.clip(jnp.where(next_cur == TERM, 0, nrow), 0, n_rows - 1)
 
-        def put(i, v):
-            nst_ref[i:i + 1, :] = pltpu.bitcast(v, jnp.int32)
-
         ncur_ref[:] = next_cur
         nrowid_ref[:] = nrow
-        nst_ref[n_meta:, :] = new_stack
-        put(_M_DEPTH, new_depth.astype(jnp.float32))
-        put(_M_T, new_t)
-        put(_M_TRI, new_tri)
-        put(_M_U, new_u)
-        put(_M_V, new_v)
-        put(_M_STEPS, meta_pl(_M_STEPS) + active.astype(jnp.float32))
+        nstack_ref[:] = new_stack
+        nmeta_ref[_M_DEPTH:_M_DEPTH + 1, :] = new_depth.astype(jnp.float32)
+        nmeta_ref[_M_T:_M_T + 1, :] = new_t
+        nmeta_ref[_M_TRI:_M_TRI + 1, :] = new_tri
+        nmeta_ref[_M_U:_M_U + 1, :] = new_u
+        nmeta_ref[_M_V:_M_V + 1, :] = new_v
+        nmeta_ref[_M_STEPS:_M_STEPS + 1, :] = (
+            meta_ref[_M_STEPS:_M_STEPS + 1, :] + active.astype(jnp.float32)
+        )
         if candidates:
-            put(_M_CT, new_ct)
-            put(_M_CTRI, new_ctri)
-            put(_M_CU, new_cu)
-            put(_M_CV, new_cv)
-            put(_M_CUVU, new_ctu)
-            put(_M_CUVV, new_ctv)
-            nst_ref[12:16, :] = st_ref[12:16, :]
+            nmeta_ref[_M_CT:_M_CT + 1, :] = new_ct
+            nmeta_ref[_M_CTRI:_M_CTRI + 1, :] = new_ctri
+            nmeta_ref[_M_CU:_M_CU + 1, :] = new_cu
+            nmeta_ref[_M_CV:_M_CV + 1, :] = new_cv
+            nmeta_ref[_M_CUVU:_M_CUVU + 1, :] = new_ctu
+            nmeta_ref[_M_CUVV:_M_CUVV + 1, :] = new_ctv
+            nmeta_ref[12:16, :] = meta_ref[12:16, :]
         else:
-            nst_ref[6:8, :] = st_ref[6:8, :]
+            nmeta_ref[6:8, :] = meta_ref[6:8, :]
 
     return kern
 
@@ -507,10 +492,9 @@ def _interpret_mode() -> bool:
 
 
 def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4,
-          cur, rowid, st):
+          cur, rowid, meta, stack):
     r = cur.shape[1]
     lanes = width * 8
-    srows = n_meta + stack_depth
     row = rows[rowid[0]]                        # THE gather (XLA hardware path)
 
     def cmaj(nr):
@@ -521,35 +505,32 @@ def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4,
         grid=(r // BLK,),
         in_specs=[
             pl.BlockSpec((BLK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(srows),
+            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
+            cmaj(stack_depth),
         ],
-        out_specs=[cmaj(1), cmaj(1), cmaj(srows)],
+        out_specs=[cmaj(1), cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
         out_shape=[
             jax.ShapeDtypeStruct((1, r), jnp.int32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
-            jax.ShapeDtypeStruct((srows, r), jnp.int32),
+            jax.ShapeDtypeStruct((n_meta, r), jnp.float32),
+            jax.ShapeDtypeStruct((stack_depth, r), jnp.int32),
         ],
-        # In-place state update: cur/rowid/st alias their outputs (grid
-        # blocks are disjoint and each block writes only what it read), so
-        # the while-loop carry needs no fresh allocations or staging
-        # copies. The row index for the NEXT gather is emitted by the
-        # kernel itself so ``cur`` has a single consumer — computing it in
-        # XLA from ``cur`` forced a defensive copy of the aliased carry
+        # In-place state update: cur/rowid/meta/stack alias their outputs
+        # (grid blocks are disjoint and each block writes only what it
+        # read), so the while-loop carry needs no fresh allocations or
+        # staging copies. The row index for the NEXT gather is emitted by
+        # the kernel itself so ``cur`` has a single consumer — computing it
+        # in XLA from ``cur`` forced a defensive copy of the aliased carry
         # every step (round-4 trace: ~2.4 ms/step of copy-start at 524k
-        # lanes vs 1.2 ms of kernel). Meta rides INSIDE ``st`` (f32 bits in
-        # i32 lanes): as a separate 16 MB loop-varying array XLA's
-        # memory-space assignment async-copied it into VMEM and back out
-        # EVERY step (~1 ms/step in the round-4 trace); merged with the
-        # stack the carry is too big to promote and streams at full HBM
-        # bandwidth through the kernel's block pipeline instead.
-        # VKRT_NOALIAS=1 disables aliasing for attribution experiments.
+        # lanes vs 1.2 ms of kernel). VKRT_NOALIAS=1 disables aliasing for
+        # attribution experiments.
         input_output_aliases=(
             {}
             if os.environ.get("VKRT_NOALIAS") == "1"
-            else {4: 0, 5: 1, 6: 2}
+            else {4: 0, 5: 1, 6: 2, 7: 3}
         ),
         interpret=_interpret_mode(),
-    )(row, o4, d4, i4, cur, rowid, st)
+    )(row, o4, d4, i4, cur, rowid, meta, stack)
 
 
 def _traverse_fused(
@@ -635,16 +616,7 @@ def _traverse_fused(
     if return_uvt:
         meta0 = meta0.at[_M_CT].set(t_max_p)
         meta0 = meta0.at[_M_CTRI].set(-1.0)
-    # Merged per-lane state: meta planes as exact f32 bit patterns in i32
-    # lanes (safe: i32 lanes never canonicalize) stacked on the traversal
-    # stack (see _step for why one big loop-varying array wins).
-    st0 = jnp.concatenate(
-        [
-            jax.lax.bitcast_convert_type(meta0, jnp.int32),
-            jnp.zeros((stack_depth, r), jnp.int32),
-        ],
-        axis=0,
-    )
+    stack0 = jnp.zeros((stack_depth, r), jnp.int32)
 
     kern = _make_step_kernel(
         cull_backface, any_hit_mode, stack_depth, W, candidates=return_uvt,
@@ -684,20 +656,19 @@ def _traverse_fused(
 
     def compact(state, o4, d4, i4, size):
         """Phase-boundary compaction. Gathers are flat-cost per ROW, so the
-        attr-major state is packed to ray-major rows first: ONE
-        (R, 1+S+9) gather covers cur + the whole merged state (meta AND
-        stack — already one i32 array) + rays (and XLA inserts the
-        transposes it would have needed for the axis-1 gathers anyway)."""
-        cur, _rowid, st = state
+        attr-major state is packed to ray-major rows first: ONE (R, 9+M)
+        gather covers cur+meta+rays, plus one for the stack — 2 gathers
+        instead of 6 (and XLA inserts the transposes it would have needed
+        for the axis-1 gathers anyway)."""
+        cur, _rowid, meta, stack = state
         full = cur.shape[1]
         (idx,) = jnp.nonzero(cur[0] != TERM, size=size, fill_value=full)
         safe = jnp.minimum(idx, full - 1)
         valid = idx < full
         bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-        srows = st.shape[0]
         packed = jnp.concatenate(
-            [cur, st, bc(o4[0:3]), bc(d4[0:3]), bc(i4[0:3])], axis=0
-        ).T[safe]                                   # (size, 1+S+9) i32
+            [cur, bc(meta), bc(o4[0:3]), bc(d4[0:3]), bc(i4[0:3])], axis=0
+        ).T[safe]                                   # (size, 1+M+9) i32
         sub_cur = jnp.where(valid, packed[:, 0], TERM)[None, :]
         # Recompute the row index at the (once-per-phase) boundary.
         svleaf = -sub_cur - 1
@@ -706,22 +677,21 @@ def _traverse_fused(
             jnp.where(sub_cur == TERM, 0, sub_rowid), 0, rows.shape[0] - 1
         )
         fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-        sub_st = packed[:, 1:1 + srows].T
+        m = meta.shape[0]
+        sub_meta = fb(packed[:, 1:1 + m].T)
         pad1 = jnp.zeros((1, packed.shape[0]), jnp.float32)
-        b0 = 1 + srows
-        o4c = jnp.concatenate([fb(packed[:, b0:b0 + 3].T), pad1], axis=0)
-        d4c = jnp.concatenate([fb(packed[:, b0 + 3:b0 + 6].T), pad1], axis=0)
-        i4c = jnp.concatenate([fb(packed[:, b0 + 6:b0 + 9].T), pad1], axis=0)
-        sub = (sub_cur, sub_rowid, sub_st)
+        o4c = jnp.concatenate([fb(packed[:, 1 + m:4 + m].T), pad1], axis=0)
+        d4c = jnp.concatenate([fb(packed[:, 4 + m:7 + m].T), pad1], axis=0)
+        i4c = jnp.concatenate([fb(packed[:, 7 + m:10 + m].T), pad1], axis=0)
+        sub = (sub_cur, sub_rowid, sub_meta, stack[:, safe])
         return sub, o4c, d4c, i4c, idx
 
     def merge(state, sub, idx):
-        cur, rowid, st = state
-        m = n_meta
-        meta_new = st[:m].T.at[idx].set(sub[2][:m].T, mode="drop").T
-        return (cur, rowid, jnp.concatenate([meta_new, st[m:]], axis=0))
+        cur, rowid, meta, stack = state
+        meta = meta.T.at[idx].set(sub[2].T, mode="drop").T
+        return (cur, rowid, meta, stack)
 
-    state = (cur0[None, :], rowid0[None, :], st0)
+    state = (cur0[None, :], rowid0[None, :], meta0, stack0)
     if phase_compact and r >= 1 << 15:
         oc, dc, ic = o4, d4, i4
         merges = []
@@ -739,8 +709,7 @@ def _traverse_fused(
     else:
         state = run_phase(state, o4, d4, i4, 0)
 
-    _, _, st_f = state
-    meta = jax.lax.bitcast_convert_type(st_f[:n_meta], jnp.float32)
+    _, _, meta, _ = state
     steps = meta[_M_STEPS, :r_in].astype(jnp.int32)
     if return_uvt:
         # Candidate mode: the result is the CANDIDATE slot (nearest
