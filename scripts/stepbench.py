@@ -7,6 +7,8 @@ components (row gather, stack read/write, staging copies):
   base      the production step (gather + kernel, aliased carry)
   stack8    stack_depth forced to 8 (INCORRECT traversal — timing only):
             isolates the (D, R) stack read+write cost
+  stackfull stack_depth forced to the full builder bound (the pre-short-
+            stack production configuration)
   nogather  row block sliced instead of gathered (INCORRECT): isolates the
             row-gather cost
   noalias   aliasing off: isolates what the in-place aliasing saves
@@ -56,7 +58,8 @@ def main():
     def t4(a):
         return jnp.concatenate([a.T, jnp.zeros((1, P), a.dtype)], axis=0)
 
-    o4, d4, i4 = t4(o), t4(d), t4(inv)
+    o4, d4 = t4(o), t4(d)
+    del inv
     rows = jnp.asarray(planar.rows)
     W = planar.width
 
@@ -71,10 +74,10 @@ def main():
         else:
             os.environ.pop("VKRT_NOALIAS", None)
 
-        def step(rows_in, oo, dd, ii, cur, rowid, meta, stack):
+        def step(rows_in, oo, dd, cur, rowid, meta, stack):
             if gather:
                 return TF._step(rows_in, kern, stack_depth, W, n_meta,
-                                oo, dd, ii, cur, rowid, meta, stack)
+                                oo, dd, cur, rowid, meta, stack)
             # no-gather variant: a contiguous slice stands in for the row
             # block (timing only; traversal results are wrong)
             from jax.experimental import pallas as pl
@@ -95,7 +98,7 @@ def main():
                 in_specs=[
                     pl.BlockSpec((TF.BLK, W * 8), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
+                    cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
                     cmaj(stack_depth),
                 ],
                 out_specs=[cmaj(1), cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
@@ -106,15 +109,15 @@ def main():
                     jax.ShapeDtypeStruct((stack_depth, P), jnp.int32),
                 ],
                 input_output_aliases=(
-                    {4: 0, 5: 1, 6: 2, 7: 3} if alias else {}
+                    {3: 0, 4: 1, 5: 2, 6: 3} if alias else {}
                 ),
                 interpret=TF._interpret_mode(),
-            )(row, oo, dd, ii, cur, rowid, meta, stack)
+            )(row, oo, dd, cur, rowid, meta, stack)
 
         @jax.jit
         def run(cur, rowid, meta, stack):
             def body(s, _):
-                return step(rows, o4, d4, i4, *s), None
+                return step(rows, o4, d4, *s), None
             (cur, rowid, meta, stack), _ = jax.lax.scan(
                 body, (cur, rowid, meta, stack), None, length=8
             )
@@ -128,11 +131,13 @@ def main():
         return run, (cur0, rowid0, meta0, stack0)
 
     variants = sys.argv[1:] or ["base", "stack8", "nogather", "noalias"]
+    k_stack = min(planar.stack_depth, TF.STACK_ROWS)
     specs = {
-        "base": dict(stack_depth=planar.stack_depth, gather=True, alias=True),
+        "base": dict(stack_depth=k_stack, gather=True, alias=True),
         "stack8": dict(stack_depth=8, gather=True, alias=True),
-        "nogather": dict(stack_depth=planar.stack_depth, gather=False, alias=True),
-        "noalias": dict(stack_depth=planar.stack_depth, gather=True, alias=False),
+        "stackfull": dict(stack_depth=planar.stack_depth, gather=True, alias=True),
+        "nogather": dict(stack_depth=k_stack, gather=False, alias=True),
+        "noalias": dict(stack_depth=k_stack, gather=True, alias=False),
     }
     for name in variants:
         run, init = build_scan(**specs[name])

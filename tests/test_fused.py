@@ -209,3 +209,37 @@ def test_width32_policy_full_bundle(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("k_rows", [3, 5])
+def test_short_stack_overflow_rerun(k_rows, cornell, monkeypatch):
+    """Short-stack overflow path: with STACK_ROWS forced below the tree's
+    builder bound (cornell: 7), lanes that would push past K rows must be
+    re-run at full depth and end bit-identical to the XLA body. k=3
+    overflows most lanes (full-width re-run branch); k=5 only some."""
+    geom, bundle = cornell
+    planar = bundle.opaque_planar
+    assert planar.stack_depth > k_rows
+    o, d = _rays(513, 3, jnp.array([0.0, 1.0, 0.0]), 0.9)
+    hit_x, _ = tw.closest_hit_wide(bundle.opaque, geom.tri_material, o, d)
+    monkeypatch.setattr(tf, "STACK_ROWS", k_rows)
+    hit_f = tf.closest_hit_fused(planar, o, d)
+    np.testing.assert_array_equal(np.asarray(hit_f.tri), np.asarray(hit_x.tri))
+    np.testing.assert_allclose(
+        np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_short_stack_overflow_tier_rerun(cornell, monkeypatch):
+    """Wide batch (r > BLK) with a slightly-short stack exercises the
+    NARROW-tier re-run branch (overflow lanes gathered to r/16)."""
+    geom, bundle = cornell
+    planar = bundle.opaque_planar
+    monkeypatch.setattr(tf, "STACK_ROWS", planar.stack_depth - 1)
+    o, d = _rays(2 * tf.BLK + 17, 9, jnp.array([0.0, 1.0, 0.0]), 0.9)
+    hit_x, _ = tw.closest_hit_wide(bundle.opaque, geom.tri_material, o, d)
+    hit_f = tf.closest_hit_fused(planar, o, d)
+    np.testing.assert_array_equal(np.asarray(hit_f.tri), np.asarray(hit_x.tri))
+    np.testing.assert_allclose(
+        np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
+    )

@@ -95,19 +95,31 @@ if not PHASE_DIVS or any(d < 1 for d in PHASE_DIVS):
 # phases end nearer the live-fraction thresholds instead of overshooting by
 # up to 7 full-batch steps; the extra cond reductions are cheap on (1, R).
 CHUNK_LEN = 4
+# Runtime stack rows streamed per step (the SHORT stack). The builder's
+# worst-case bound (sum of (children-1) along the deepest path) is ~61 on
+# the atrium, but the bound is realized only by adversarial near-orderings;
+# real rays stay shallow. Streaming the full bound costs 2 x depth x 4 B
+# per lane per step — at 61 deep that is ~490 B/lane/step, MORE than the
+# 512 B row gather itself (round-4 device trace: per-step state copies
+# rival the gather). The kernel therefore runs with a K-row stack and a
+# sticky overflow flag; lanes that would have pushed past K re-run at a
+# narrow tier with the full-depth kernel (exact — the short-stack pass is
+# discarded for them).
+STACK_ROWS = _env_int("VKRT_STACK", 16)
 # Persistent per-lane meta rows.
 #   0..5: depth, t_best, tri_best, u, v, steps   — the opaque hit
+#   6:    sticky stack-overflow flag (short-stack pass invalid for lane)
 # Candidate-mode kernels (``candidates=True``, the alpha-tree path of
 # ops/traverse_alpha.py) extend this to 16 rows:
-#   6..11: candidate slot — nearest ALPHA-flagged triangle seen (not a
+#   7..12: candidate slot — nearest ALPHA-flagged triangle seen (not a
 #          t_best update: its acceptance is stochastic and resolved by the
 #          caller): t, tri, bary u, bary v, and the texture UV interpolated
 #          in-kernel from the leaf uv planes.
 # Opaque kernels keep 8 rows so the hot path pays no extra state traffic.
 _META = 8
 _META_CAND = 16
-_M_DEPTH, _M_T, _M_TRI, _M_U, _M_V, _M_STEPS = 0, 1, 2, 3, 4, 5
-_M_CT, _M_CTRI, _M_CU, _M_CV, _M_CUVU, _M_CUVV = 6, 7, 8, 9, 10, 11
+_M_DEPTH, _M_T, _M_TRI, _M_U, _M_V, _M_STEPS, _M_OVF = 0, 1, 2, 3, 4, 5, 6
+_M_CT, _M_CTRI, _M_CU, _M_CV, _M_CUVU, _M_CUVV = 7, 8, 9, 10, 11, 12
 
 
 @jax.tree_util.register_pytree_node_class
@@ -238,7 +250,7 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
     LT = W // 2                 # leaf triangles per row
     CB = LT.bit_length() - 1    # leaf-count bits: 4 tris -> 2, 8 tris -> 3
 
-    def kern(row_ref, o_ref, d_ref, i_ref, cur_ref, rowid_ref, meta_ref,
+    def kern(row_ref, o_ref, d_ref, cur_ref, rowid_ref, meta_ref,
              stack_ref, ncur_ref, nrowid_ref, nmeta_ref, nstack_ref):
         del rowid_ref  # consumed by the XLA row gather, carried through here
         rowT = row_ref[:].T                     # one in-VMEM transpose
@@ -260,7 +272,14 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
 
         ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
         dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
-        ix, iy, iz = i_ref[0:1, :], i_ref[1:2, :], i_ref[2:3, :]
+        # inv_d in-kernel (3 VPU divides) instead of streaming a third
+        # (4, R) operand every step — same guarded formula as the XLA
+        # prologue, so slab arithmetic is bitwise unchanged.
+        def _inv(c):
+            return 1.0 / jnp.where(
+                jnp.abs(c) < 1e-20, jnp.where(c < 0, -1e-20, 1e-20), c
+            )
+        ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
         # ---- interior: W-way slab test (children on sublanes) ------------
         bxm, bym, bzm = rowT[0:W], rowT[W:2 * W], rowT[2 * W:3 * W]
@@ -302,6 +321,10 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         new_stack = jnp.where(push_sel, val.astype(jnp.int32), stack_old)
         n_push = jnp.where(do_push, n_valid - 1, 0)
         new_depth = jnp.minimum(depth + n_push, stack_depth)
+        # Short-stack overflow: pushes past the streamed K rows are DROPPED
+        # (the lane's result is invalid from here on); the sticky flag sends
+        # the lane to the full-depth re-run tier (_traverse_fused).
+        dropped = (do_push & (depth + n_push > stack_depth)).astype(jnp.float32)
 
         # ---- leaf: LT-triangle Moller-Trumbore (triangles on sublanes) ---
         vleaf = -cur - 1
@@ -433,6 +456,9 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         nmeta_ref[_M_STEPS:_M_STEPS + 1, :] = (
             meta_ref[_M_STEPS:_M_STEPS + 1, :] + active.astype(jnp.float32)
         )
+        nmeta_ref[_M_OVF:_M_OVF + 1, :] = jnp.maximum(
+            meta_ref[_M_OVF:_M_OVF + 1, :], dropped
+        )
         if candidates:
             nmeta_ref[_M_CT:_M_CT + 1, :] = new_ct
             nmeta_ref[_M_CTRI:_M_CTRI + 1, :] = new_ctri
@@ -440,9 +466,9 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
             nmeta_ref[_M_CV:_M_CV + 1, :] = new_cv
             nmeta_ref[_M_CUVU:_M_CUVU + 1, :] = new_ctu
             nmeta_ref[_M_CUVV:_M_CUVV + 1, :] = new_ctv
-            nmeta_ref[12:16, :] = meta_ref[12:16, :]
+            nmeta_ref[13:16, :] = meta_ref[13:16, :]
         else:
-            nmeta_ref[6:8, :] = meta_ref[6:8, :]
+            nmeta_ref[7:8, :] = meta_ref[7:8, :]
 
     return kern
 
@@ -491,7 +517,7 @@ def _interpret_mode() -> bool:
         return True
 
 
-def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4,
+def _step(rows, kern, stack_rows, width, n_meta, o4, d4,
           cur, rowid, meta, stack):
     r = cur.shape[1]
     lanes = width * 8
@@ -505,15 +531,15 @@ def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4,
         grid=(r // BLK,),
         in_specs=[
             pl.BlockSpec((BLK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            cmaj(4), cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
-            cmaj(stack_depth),
+            cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
+            cmaj(stack_rows),
         ],
-        out_specs=[cmaj(1), cmaj(1), cmaj(n_meta), cmaj(stack_depth)],
+        out_specs=[cmaj(1), cmaj(1), cmaj(n_meta), cmaj(stack_rows)],
         out_shape=[
             jax.ShapeDtypeStruct((1, r), jnp.int32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
             jax.ShapeDtypeStruct((n_meta, r), jnp.float32),
-            jax.ShapeDtypeStruct((stack_depth, r), jnp.int32),
+            jax.ShapeDtypeStruct((stack_rows, r), jnp.int32),
         ],
         # In-place state update: cur/rowid/meta/stack alias their outputs
         # (grid blocks are disjoint and each block writes only what it
@@ -527,10 +553,10 @@ def _step(rows, kern, stack_depth, width, n_meta, o4, d4, i4,
         input_output_aliases=(
             {}
             if os.environ.get("VKRT_NOALIAS") == "1"
-            else {4: 0, 5: 1, 6: 2, 7: 3}
+            else {3: 0, 4: 1, 5: 2, 6: 3}
         ),
         interpret=_interpret_mode(),
-    )(row, o4, d4, i4, cur, rowid, meta, stack)
+    )(row, o4, d4, cur, rowid, meta, stack)
 
 
 def _traverse_fused(
@@ -569,10 +595,12 @@ def _traverse_fused(
     )
 
     # Transposed (4, R) ray params; row 3 is padding for the (8,128) tile.
+    # inv_d is NOT streamed — the kernel recomputes it from d (identical
+    # guarded formula), saving an 8 MB/step operand at 524k lanes.
     def t4(a):
         return jnp.concatenate([a.T, jnp.zeros((1, r), a.dtype)], axis=0)
 
-    o4, d4, i4 = t4(origin_p), t4(direction_p), t4(inv_d)
+    o4, d4 = t4(origin_p), t4(direction_p)
 
     W = planar.width
     if root0 is not None:
@@ -616,35 +644,41 @@ def _traverse_fused(
     if return_uvt:
         meta0 = meta0.at[_M_CT].set(t_max_p)
         meta0 = meta0.at[_M_CTRI].set(-1.0)
-    stack0 = jnp.zeros((stack_depth, r), jnp.int32)
+
+    # Short stack: stream only K rows per step (see STACK_ROWS). Lanes that
+    # overflow K re-run below with the full-depth kernel.
+    k_stack = min(stack_depth, STACK_ROWS)
+    stack0 = jnp.zeros((k_stack, r), jnp.int32)
 
     kern = _make_step_kernel(
-        cull_backface, any_hit_mode, stack_depth, W, candidates=return_uvt,
+        cull_backface, any_hit_mode, k_stack, W, candidates=return_uvt,
         n_rows=int(rows.shape[0]),
     )
-    step = functools.partial(_step, rows, kern, stack_depth, W, n_meta)
+    step = functools.partial(_step, rows, kern, k_stack, W, n_meta)
 
     leaf_bits = (W // 2).bit_length() - 1
-    vleaf0 = -cur0 - 1
-    rowid0 = jnp.where(cur0 >= 0, cur0, vleaf0 >> leaf_bits)
-    rowid0 = jnp.clip(
-        jnp.where(cur0 == TERM, 0, rowid0), 0, rows.shape[0] - 1
-    )
+
+    def rowid_of(cur):
+        vleaf = -cur - 1
+        rowid = jnp.where(cur >= 0, cur, vleaf >> leaf_bits)
+        return jnp.clip(jnp.where(cur == TERM, 0, rowid), 0, rows.shape[0] - 1)
+
+    rowid0 = rowid_of(cur0)
 
     chunk_len = 4 if rows.shape[0] < 1024 else CHUNK_LEN
 
-    def run_phase(state, o4, d4, i4, live_floor):
+    def run_phase(state, o4, d4, live_floor, step_fn=step):
         if os.environ.get("VKRT_UNROLL") == "1":
             # Attribution experiment: unrolled chunk body (no lax.scan
             # bufferization between steps).
             def chunk(s):
                 for _ in range(chunk_len):
-                    s = step(o4, d4, i4, *s)
+                    s = step_fn(o4, d4, *s)
                 return s
         else:
             def chunk(s):
                 def sbody(ss, _):
-                    return step(o4, d4, i4, *ss), None
+                    return step_fn(o4, d4, *ss), None
                 s, _ = jax.lax.scan(sbody, s, None, length=chunk_len)
                 return s
 
@@ -654,11 +688,11 @@ def _traverse_fused(
             cond = lambda s: jnp.sum(s[0] != TERM) > live_floor
         return jax.lax.while_loop(cond, chunk, state)
 
-    def compact(state, o4, d4, i4, size):
+    def compact(state, o4, d4, size):
         """Phase-boundary compaction. Gathers are flat-cost per ROW, so the
-        attr-major state is packed to ray-major rows first: ONE (R, 9+M)
+        attr-major state is packed to ray-major rows first: ONE (R, 7+M)
         gather covers cur+meta+rays, plus one for the stack — 2 gathers
-        instead of 6 (and XLA inserts the transposes it would have needed
+        instead of 5 (and XLA inserts the transposes it would have needed
         for the axis-1 gathers anyway)."""
         cur, _rowid, meta, stack = state
         full = cur.shape[1]
@@ -667,24 +701,19 @@ def _traverse_fused(
         valid = idx < full
         bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
         packed = jnp.concatenate(
-            [cur, bc(meta), bc(o4[0:3]), bc(d4[0:3]), bc(i4[0:3])], axis=0
-        ).T[safe]                                   # (size, 1+M+9) i32
+            [cur, bc(meta), bc(o4[0:3]), bc(d4[0:3])], axis=0
+        ).T[safe]                                   # (size, 1+M+6) i32
         sub_cur = jnp.where(valid, packed[:, 0], TERM)[None, :]
         # Recompute the row index at the (once-per-phase) boundary.
-        svleaf = -sub_cur - 1
-        sub_rowid = jnp.where(sub_cur >= 0, sub_cur, svleaf >> leaf_bits)
-        sub_rowid = jnp.clip(
-            jnp.where(sub_cur == TERM, 0, sub_rowid), 0, rows.shape[0] - 1
-        )
+        sub_rowid = rowid_of(sub_cur)
         fb = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         m = meta.shape[0]
         sub_meta = fb(packed[:, 1:1 + m].T)
         pad1 = jnp.zeros((1, packed.shape[0]), jnp.float32)
         o4c = jnp.concatenate([fb(packed[:, 1 + m:4 + m].T), pad1], axis=0)
         d4c = jnp.concatenate([fb(packed[:, 4 + m:7 + m].T), pad1], axis=0)
-        i4c = jnp.concatenate([fb(packed[:, 7 + m:10 + m].T), pad1], axis=0)
         sub = (sub_cur, sub_rowid, sub_meta, stack[:, safe])
-        return sub, o4c, d4c, i4c, idx
+        return sub, o4c, d4c, idx
 
     def merge(state, sub, idx):
         cur, rowid, meta, stack = state
@@ -693,21 +722,85 @@ def _traverse_fused(
 
     state = (cur0[None, :], rowid0[None, :], meta0, stack0)
     if phase_compact and r >= 1 << 15:
-        oc, dc, ic = o4, d4, i4
+        oc, dc = o4, d4
         merges = []
         cur_state = state
         for div in PHASE_DIVS:
             size = max(1 << 12, (r // div + BLK - 1) // BLK * BLK)
-            cur_state = run_phase(cur_state, oc, dc, ic, size)
-            sub, oc, dc, ic, idx = compact(cur_state, oc, dc, ic, size)
+            cur_state = run_phase(cur_state, oc, dc, size)
+            sub, oc, dc, idx = compact(cur_state, oc, dc, size)
             merges.append((cur_state, idx))
             cur_state = sub
-        cur_state = run_phase(cur_state, oc, dc, ic, 0)
+        cur_state = run_phase(cur_state, oc, dc, 0)
         for outer, idx in reversed(merges):
             cur_state = merge(outer, cur_state, idx)
         state = cur_state
     else:
-        state = run_phase(state, o4, d4, i4, 0)
+        state = run_phase(state, o4, d4, 0)
+
+    if k_stack < stack_depth:
+        # ---- full-depth re-run of short-stack overflow lanes -------------
+        # Exact fallback: any lane whose sticky _M_OVF flag is set gets its
+        # ENTIRE traversal re-run with the full builder-bound stack. The
+        # expected overflow fraction is ~0 (the bound is realized only by
+        # adversarial near-orderings); both branches below exist for
+        # correctness, not speed.
+        kern_full = _make_step_kernel(
+            cull_backface, any_hit_mode, stack_depth, W,
+            candidates=return_uvt, n_rows=int(rows.shape[0]),
+        )
+        step_full = functools.partial(
+            _step, rows, kern_full, stack_depth, W, n_meta
+        )
+        cur_m, rowid_m, meta_m, _stack_m = state
+        ovf = meta_m[_M_OVF] > 0.0
+        n_ovf = jnp.sum(ovf.astype(jnp.int32))
+
+        def full_rerun(meta_m):
+            cur_s = jnp.where(ovf, cur0, TERM)[None, :]
+            st = (
+                cur_s, rowid_of(cur_s), meta0,
+                jnp.zeros((stack_depth, r), jnp.int32),
+            )
+            st = run_phase(st, o4, d4, 0, step_fn=step_full)
+            return jnp.where(ovf[None, :], st[2], meta_m)
+
+        size = min(r, max(BLK, (r // 16 + BLK - 1) // BLK * BLK))
+
+        def tier_rerun(meta_m):
+            (idx,) = jnp.nonzero(ovf, size=size, fill_value=r)
+            safe = jnp.minimum(idx, r - 1)
+            valid = idx < r
+            cur_s = jnp.where(valid, cur0[safe], TERM)[None, :]
+            m0 = jnp.zeros((n_meta, size), jnp.float32)
+            m0 = m0.at[_M_T].set(t_max_p[safe])
+            m0 = m0.at[_M_TRI].set(-1.0)
+            if return_uvt:
+                m0 = m0.at[_M_CT].set(t_max_p[safe])
+                m0 = m0.at[_M_CTRI].set(-1.0)
+            st = (
+                cur_s, rowid_of(cur_s), m0,
+                jnp.zeros((stack_depth, size), jnp.int32),
+            )
+            st = run_phase(
+                st, o4[:, safe], d4[:, safe], 0, step_fn=step_full
+            )
+            return meta_m.T.at[idx].set(st[2].T, mode="drop").T
+
+        if size < r:
+            meta_m = jax.lax.cond(
+                n_ovf == 0,
+                lambda m: m,
+                lambda m: jax.lax.cond(
+                    n_ovf <= size, tier_rerun, full_rerun, m
+                ),
+                meta_m,
+            )
+        else:
+            meta_m = jax.lax.cond(
+                n_ovf == 0, lambda m: m, full_rerun, meta_m
+            )
+        state = (cur_m, rowid_m, meta_m, _stack_m)
 
     _, _, meta, _ = state
     steps = meta[_M_STEPS, :r_in].astype(jnp.int32)
