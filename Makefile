@@ -6,8 +6,12 @@ NATIVE_LIB := vk_raytrace_tpu/runtime/_native.so
 
 all: $(NATIVE_LIB)
 
+# Portable by default; set NATIVE_ARCH=native for a machine-tuned build
+# (the .so is built lazily per machine and is NOT committed).
+NATIVE_ARCH ?= x86-64-v2
+
 $(NATIVE_LIB): $(NATIVE_SRC)
-	g++ -O3 -march=native -shared -fPIC -o $@ $<
+	g++ -O3 -march=$(NATIVE_ARCH) -shared -fPIC -o $@ $<
 
 test:
 	python -m pytest tests/ -x -q

@@ -401,7 +401,13 @@ def _mip_lanes(prow, o, lod):
     n_lvl = jnp.floor(
         jnp.log2(jnp.maximum(jnp.minimum(wf, hf), 1.0)) + 1e-4
     ).astype(jnp.int32)
-    lam = lod + 0.5 * jnp.log2(wf * hf)
+    # KHR_texture_transform scales uv before the tap, so the footprint in
+    # texel space scales by |det(uvT 2x2)|; fold 0.5*log2 of it into the
+    # level (ADVICE r4 #3). Identity transforms contribute exactly 0.
+    t00, t01 = prow[:, _OFFS["uvT"]], prow[:, _OFFS["uvT"] + 1]
+    t10, t11 = prow[:, _OFFS["uvT"] + 2], prow[:, _OFFS["uvT"] + 3]
+    det = jnp.abs(t00 * t11 - t01 * t10)
+    lam = lod + 0.5 * jnp.log2(wf * hf) + 0.5 * jnp.log2(jnp.maximum(det, 1e-20))
     lvl = jnp.clip(jnp.round(lam).astype(jnp.int32), 0, n_lvl)
     lvl = jnp.where(mx >= 0, lvl, 0)
     # closed-form strip placement (ops/texture.py::mip_placement)

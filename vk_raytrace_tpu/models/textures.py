@@ -127,6 +127,10 @@ class AtlasBuilder:
             data[ys[j] : ys[j] + h, xs[j] : xs[j] + w] = strip
             mip_x[i], mip_y[i] = xs[j], ys[j]
             j += 1
+        # mips off / no strips packed: mip_x/mip_y must be None so the
+        # level-selection code is never traced (mip_lod_enabled gates on
+        # `mip_x is not None`; an all -1 array kept it on — ADVICE r4 #5).
+        no_chains = j == n
 
         return TextureAtlas(
             data=np.asarray(data),
@@ -136,6 +140,6 @@ class AtlasBuilder:
             height=np.asarray([im.shape[0] for im in self._images], np.int32),
             wrap_s=np.asarray([w[0] for w in self._wraps], np.int32),
             wrap_t=np.asarray([w[1] for w in self._wraps], np.int32),
-            mip_x=np.asarray(mip_x, np.int32),
-            mip_y=np.asarray(mip_y, np.int32),
+            mip_x=None if no_chains else np.asarray(mip_x, np.int32),
+            mip_y=None if no_chains else np.asarray(mip_y, np.int32),
         )

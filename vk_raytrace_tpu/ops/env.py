@@ -115,7 +115,11 @@ def _cone_pdf(sun_sky: SunSky, direction: jax.Array):
     present, axis, cos_theta = sun_disk_cone(sun_sky)
     q = jnp.where(present, 0.5, 0.0)
     solid_angle = 2.0 * M_PI * jnp.maximum(1.0 - cos_theta, 1e-12)
-    inside = jnp.sum(direction * axis, axis=-1) >= cos_theta
+    # Rim slack: a direction drawn AT the cone boundary (cz == cos_theta at
+    # xi=1) can evaluate dot < cos_theta after normalization rounding, which
+    # would drop the cone term from the mixture pdf and ~double that
+    # sample's contribution (rim fireflies) — test with eps (ADVICE r4 #4).
+    inside = jnp.sum(direction * axis, axis=-1) >= cos_theta - 1e-6
     return q, jnp.where(inside, 1.0 / solid_angle, 0.0)
 
 

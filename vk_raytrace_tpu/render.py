@@ -248,8 +248,9 @@ def prepare_sun_sky(scene: SceneData, cfg: RenderConfig):
 # expected M" failure class, and silently-vacuous A/B comparisons).
 _TRACE_ENVS = (
     "VKRT_FUSED", "VKRT_FUSED_SHADE", "VKRT_FUSED_ALPHA", "VKRT_TIERS",
-    "VKRT_ABLATE", "VKRT_MIP_SAMPLE", "VKRT_MERGED_MAT", "VKRT_UNROLL",
-    "VKRT_NOALIAS", "VKRT_BLK", "VKRT_PHASE_DIVS", "VKRT_ANALYTIC_SUN",
+    "VKRT_ABLATE", "VKRT_MIP_SAMPLE", "VKRT_MIP_BIAS", "VKRT_MERGED_MAT",
+    "VKRT_UNROLL", "VKRT_NOALIAS", "VKRT_BLK", "VKRT_PHASE_DIVS",
+    "VKRT_ANALYTIC_SUN",
 )
 
 
@@ -342,7 +343,10 @@ def _dispatch_with_cache_repair(jitted, *args, **kw):
     """
     try:
         return jitted(*args, **kw)
-    except ValueError as e:
+    except Exception as e:  # noqa: BLE001 — filtered by message below
+        # The PJRT runtime raises this as jax.errors.JaxRuntimeError (a
+        # RuntimeError subclass on jax 0.9), NOT ValueError; catch broadly
+        # and let the message substring decide (ADVICE r4 #1).
         if "buffers but compiled program expected" not in str(e):
             raise
         jitted.clear_cache()

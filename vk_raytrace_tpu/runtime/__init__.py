@@ -62,16 +62,21 @@ def _check_ref_ceiling(n_rows: int, leaf_tris: int) -> None:
 
 
 def _build() -> bool:
-    try:
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-o", _LIB + ".tmp", _SRC,
-        ]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_LIB + ".tmp", _LIB)
-        return True
-    except Exception:
-        return False
+    # Portable target by default (the .so is rebuilt lazily per machine and
+    # never committed); VKRT_NATIVE_ARCH=native opts into machine tuning.
+    arch = os.environ.get("VKRT_NATIVE_ARCH", "x86-64-v2")
+    for march in (arch, "x86-64"):  # fallback for toolchains without -v2
+        try:
+            cmd = [
+                "g++", "-O3", f"-march={march}", "-shared", "-fPIC",
+                "-o", _LIB + ".tmp", _SRC,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(_LIB + ".tmp", _LIB)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load():
