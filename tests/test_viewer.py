@@ -99,3 +99,72 @@ def test_prof_and_stats_strings():
     s = V._prof_stats(_FakeRenderer(), 0.5, RenderConfig(width=8, height=8))
     assert "Mrays/s" in s and "2.00" in s
     assert "accel_s" in s
+
+
+def test_max_frames_stops_accumulation():
+    """cfg.max_frames halts progressive accumulation (m_maxFrames,
+    sample_example.cpp:407-408), and the traced config is normalized so
+    sweeping max_frames never fragments the jit cache."""
+    from vk_raytrace_tpu.models import procedural
+    from vk_raytrace_tpu import render as R
+    from vk_raytrace_tpu.models.schema import PBR_GLTF, RenderConfig
+
+    geom, mats, lights, cam = procedural.cornell_box()
+    scene = R.build_scene(geom, mats, lights, cam)
+    cfg = RenderConfig(width=16, height=16, max_depth=2, max_samples=1,
+                       hdr_multiplier=0.0, pbr_mode=PBR_GLTF, max_frames=2)
+    r = R.Renderer(scene, cfg)
+    assert r._run_cfg.max_frames == 100000  # jit key stays stable
+    for _ in range(4):
+        r.step()
+    assert r.frame == 2 and r.converged
+    frozen = np.asarray(r.accum).copy()
+    r.step()
+    np.testing.assert_array_equal(np.asarray(r.accum), frozen)
+    # reset() re-arms accumulation (camera change in the reference)
+    r.reset()
+    assert not r.converged
+    r.step()
+    assert r.frame == 1
+
+
+def test_viewer_interaction_descaling(tmp_path):
+    """During a camera drag the viewer renders at 1/DS resolution through a
+    twin renderer sharing the accel, then snaps back to full-res
+    accumulation (sample_example.cpp:410-415)."""
+    import threading
+    import time
+    import types
+
+    args = types.SimpleNamespace(
+        scene="cornell", size=(32, 32), depth=2, spp=1, hdr=None,
+        sun_sky=False, hdr_multiplier=1.0, pbr="gltf", debug_mode="none",
+        render_scale=1, firefly_clamp=None, no_any_hit=False, no_rr=False,
+        instancing="auto",
+    )
+    svc = V.ViewerService(args)
+    t = threading.Thread(target=svc.run_render_loop, daemon=True)
+    t.start()
+
+    def wait_for(pred, timeout=240.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            with svc._lock:
+                st = dict(svc._state)
+            if pred(st):
+                return st
+            time.sleep(0.2)
+        raise AssertionError(f"timeout; last state={st}")
+
+    # full-res frames accumulate first
+    wait_for(lambda st: st.get("frame", 0) >= 2)
+    # a drag: the next rendered frame must be the descaled one and the
+    # full-res accumulation must restart
+    with svc._lock:
+        svc._controls.append({"cmd": "orbit", "dx": 40.0, "dy": 10.0})
+    st = wait_for(lambda st: st.get("descaled"))
+    assert st["frame"] <= 1  # full-res accum was reset by the drag
+    # and it snaps back to full-res accumulation afterwards
+    st = wait_for(lambda st: not st.get("descaled") and st.get("frame", 0) >= 2)
+    svc._stop = True
+    t.join(timeout=60)

@@ -346,6 +346,10 @@ class RenderConfig:
     # exclusive with use_sun_sky (which evaluates the full model per ray).
     sun_disk: bool = False
     render_scale: int = 1          # descaling level (sample_example.cpp:410-415)
+    # Convergence stop: accumulation halts after this many progressive
+    # frames (m_maxFrames, sample_example.cpp:407-408; default 100000,
+    # main.cpp:47-48). Renderer.step() becomes a no-op once reached.
+    max_frames: int = 100000
     # Heatmap range: this renderer feeds accumulated traversal STEP counts
     # (tens to a few hundred per path) into the temperature ramp, not the
     # reference's shader-clock cycles (pathtrace.rgen:82-93, default 65000),

@@ -426,6 +426,13 @@ class Renderer:
         )
         t0 = _time.time()
         self.scene, self._run_cfg = prepare_sun_sky(scene, cfg)
+        # max_frames gates step() host-side only; normalize it in the traced
+        # config so sweeping it never fragments the jit cache (cfg is a
+        # static jit argument).
+        if self._run_cfg.max_frames != 100000:
+            import dataclasses as _dc
+
+            self._run_cfg = _dc.replace(self._run_cfg, max_frames=100000)
         self.build_times["sky_bake_s"] = _time.time() - t0
         self.tonemapper = tonemapper or default_tonemapper()
         t0 = _time.time()
@@ -457,6 +464,12 @@ class Renderer:
         self.build_times["upload_s"] = _time.time() - t0
         self.reset()
 
+    @property
+    def converged(self) -> bool:
+        """True once ``cfg.max_frames`` progressive frames have accumulated
+        (the reference stops tracing then, sample_example.cpp:407-408)."""
+        return self.frame >= self.cfg.max_frames
+
     # -- frame/accumulation control (sample_example.cpp:183-207) -----------
     def reset(self) -> None:
         """Reset accumulation (camera/scene change in the reference)."""
@@ -473,6 +486,11 @@ class Renderer:
         into the running mean (pathtrace.rgen:96-107)."""
         from .models.schema import DEBUG_NONE
 
+        if self.converged:
+            # m_maxFrames convergence stop (sample_example.cpp:407-408):
+            # the accumulated image is final; tracing more frames would
+            # only burn device time.
+            return
         h, w = self.cfg.height, self.cfg.width
         frame = jnp.asarray(self.frame, jnp.int32)
         if self._run_cfg.debug_mode == DEBUG_NONE:

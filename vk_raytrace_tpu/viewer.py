@@ -259,6 +259,7 @@ summary{color:#ca8;cursor:pointer}
  <details open><summary>ray tracing</summary>
   <label>max depth <span class="v" id="v_depth">__D__</span><input type="range" id="depth" min="1" max="10" step="1" value="__D__"></label>
   <label>samples/frame <span class="v" id="v_spp">1</span><input type="range" id="spp" min="1" max="8" step="1" value="1"></label>
+  <label>max frames <span class="v" id="v_maxframes">0</span><input type="range" id="maxframes" min="0" max="4096" step="16" value="0"></label>
   <label>pbr model <select id="pbr"><option value="1">glTF</option><option value="0">Disney</option></select></label>
   <label>renderer <select id="renderer"><option value="fused">fused (Pallas)</option><option value="wide">wide (XLA)</option></select></label>
   <label>debug mode <select id="debug">
@@ -325,7 +326,7 @@ window.onmousemove = e => {
   drag = [e.clientX, e.clientY, drag[2]];
 };
 img.onwheel = e => {post({cmd:'dolly',amount:Math.sign(e.deltaY)}); e.preventDefault();};
-const sliders = ['fov','aperture','focal','depth','spp','exposure','brightness',
+const sliders = ['fov','aperture','focal','depth','spp','maxframes','exposure','brightness',
  'contrast','saturation','vignette','azimuth','elevation','haze','rbshift',
  'skysat','horizon','horizonblur','sundisk','sunscale','sunglow'];
 for (const id of sliders)
@@ -402,6 +403,9 @@ class ViewerService:
         pause = False
         t_frame = 0.0
         sunsky = scene.sun_sky
+        descale_left = 0  # frames left to render at 1/DS (drag in progress)
+
+        r_small = [None]  # lazy interaction-descale renderer (keyed to cfg)
 
         def rebuild(new_cfg, new_sunsky=None):
             """Path-parameter edit: retrace but KEEP the acceleration
@@ -415,6 +419,28 @@ class ViewerService:
                 sun_sky=sunsky, camera=cam.camera(), instances=None
             )
             r = R.Renderer(sc, cfg, tonemapper=r.tonemapper, packed=r.packed)
+            r_small[0] = None  # cfg changed: rebuild the descaled twin lazily
+
+        # Interaction descaling (sample_example.cpp:410-415): while the
+        # camera is being dragged, render at 1/DS resolution through a twin
+        # renderer sharing the acceleration structures, and upscale for
+        # display; full-resolution accumulation restarts when the drag ends.
+        DS = max(1, int(os.environ.get("VKRT_VIEW_DESCALE", "4")))
+
+        def get_small():
+            if r_small[0] is None and DS > 1:
+                import dataclasses
+
+                scfg = dataclasses.replace(
+                    cfg, width=max(8, w // DS), height=max(8, h // DS)
+                )
+                sc = self._scene0._replace(
+                    sun_sky=sunsky, camera=cam.camera(), instances=None
+                )
+                r_small[0] = R.Renderer(
+                    sc, scfg, tonemapper=r.tonemapper, packed=r.packed
+                )
+            return r_small[0]
 
         def set_sunsky(**kw):
             import jax.numpy as jnp
@@ -507,6 +533,13 @@ class ViewerService:
                     elif key == "spp":
                         rebuild(dataclasses.replace(cfg, max_samples=int(val)))
                         dirty_cam = True
+                    elif key == "maxframes":
+                        # Convergence stop ("max iterations",
+                        # sample_gui.cpp:122-193); 0 = default 100000.
+                        # Host-side gate only: no retrace, no accum reset.
+                        mf = int(val) if val else 100000
+                        cfg = dataclasses.replace(cfg, max_frames=mf)
+                        r.cfg = dataclasses.replace(r.cfg, max_frames=mf)
                     elif key == "debug":
                         rebuild(dataclasses.replace(cfg, debug_mode=int(val)))
                         dirty_cam = True
@@ -549,6 +582,7 @@ class ViewerService:
             if dirty_cam:
                 r.scene = r.scene._replace(camera=cam.camera())
                 r.reset()
+                descale_left = 2 if DS > 1 else 0
 
             # Asset hot-reload (drop/reload analog). The reference loads on
             # a detached thread behind a busy flag so the frame loop keeps
@@ -584,13 +618,29 @@ class ViewerService:
 
                     threading.Thread(target=_load_async, daemon=True).start()
 
-            if pause:
+            if pause or r.converged:
+                # converged: m_maxFrames reached (sample_example.cpp:407-408)
+                # — keep serving the finished image, stop tracing.
                 time.sleep(0.1)
                 continue
 
             t0 = time.time()
-            r.step()
-            img = np.asarray(r.postprocess())
+            was_descaled = descale_left > 0 and DS > 1
+            if descale_left > 0 and get_small() is not None:
+                # Interacting: one fast frame at 1/DS, upscaled for display;
+                # full-res accumulation stays reset until the drag ends.
+                rs = get_small()
+                rs.scene = rs.scene._replace(camera=cam.camera())
+                rs.tonemapper = r.tonemapper
+                rs.tone_mode = getattr(r, "tone_mode", 0)
+                rs.reset()
+                rs.step()
+                img = np.asarray(rs.postprocess())
+                img = img.repeat(DS, axis=0).repeat(DS, axis=1)[:h, :w]
+                descale_left -= 1
+            else:
+                r.step()
+                img = np.asarray(r.postprocess())
             t_frame = time.time() - t0
             png = _png_bytes(img)
             with self._lock:
@@ -599,6 +649,7 @@ class ViewerService:
                 self._state = {
                     "frame": r.frame,
                     "busy": self._busy,
+                    "descaled": was_descaled,
                     "bookmarks": len(self._bookmarks),
                     "stats": _scene_stats(r),
                     "prof": _prof_stats(r, t_frame, cfg),
