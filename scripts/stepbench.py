@@ -62,6 +62,7 @@ def main():
     del inv
     rows = jnp.asarray(planar.rows)
     W = planar.width
+    specs_loop = ["scan"]  # mutated per variant below
 
     def build_scan(stack_depth, gather, alias):
         n_meta = 8
@@ -114,14 +115,34 @@ def main():
                 interpret=TF._interpret_mode(),
             )(row, oo, dd, cur, rowid, meta, stack)
 
-        @jax.jit
-        def run(cur, rowid, meta, stack):
-            def body(s, _):
-                return step(rows, o4, d4, *s), None
-            (cur, rowid, meta, stack), _ = jax.lax.scan(
-                body, (cur, rowid, meta, stack), None, length=8
-            )
-            return cur.sum(), meta.sum()
+        loop = specs_loop[0]
+        if loop == "unroll":
+            @jax.jit
+            def run(cur, rowid, meta, stack):
+                s = (cur, rowid, meta, stack)
+                for _ in range(8):
+                    s = step(rows, o4, d4, *s)
+                return s[0].sum(), s[2].sum()
+        elif loop == "while":
+            @jax.jit
+            def run(cur, rowid, meta, stack):
+                def body(s):
+                    it, ss = s
+                    return it + 1, step(rows, o4, d4, *ss)
+                _, (cur, rowid, meta, stack) = jax.lax.while_loop(
+                    lambda s: s[0] < 8, body,
+                    (jnp.int32(0), (cur, rowid, meta, stack)),
+                )
+                return cur.sum(), meta.sum()
+        else:
+            @jax.jit
+            def run(cur, rowid, meta, stack):
+                def body(s, _):
+                    return step(rows, o4, d4, *s), None
+                (cur, rowid, meta, stack), _ = jax.lax.scan(
+                    body, (cur, rowid, meta, stack), None, length=8
+                )
+                return cur.sum(), meta.sum()
 
         cur0 = jnp.zeros((1, P), jnp.int32)
         rowid0 = jnp.zeros((1, P), jnp.int32)
@@ -138,8 +159,13 @@ def main():
         "stackfull": dict(stack_depth=planar.stack_depth, gather=True, alias=True),
         "nogather": dict(stack_depth=k_stack, gather=False, alias=True),
         "noalias": dict(stack_depth=k_stack, gather=True, alias=False),
+        # loop-structure variants: same production step, different carry
+        # plumbing — attributes the scan-boundary staging copies
+        "unroll": dict(stack_depth=k_stack, gather=True, alias=True),
+        "while": dict(stack_depth=k_stack, gather=True, alias=True),
     }
     for name in variants:
+        specs_loop[0] = name if name in ("unroll", "while") else "scan"
         run, init = build_scan(**specs[name])
         out = jax.block_until_ready(run(*init))
         t0 = time.perf_counter()

@@ -119,6 +119,12 @@ def build_shade_rows(
             rows = np.concatenate(
                 [rows, mrows[np.minimum(tri_mat, len(mrows) - 1)]], axis=1
             ).astype(np.float32)
+        # Pad merged rows to 128 lanes (512 B — still inside the flat-gather
+        # window) IN THE TABLE: the fused shading kernel wants 128-lane
+        # blocks, and padding per-gather cost a full (R, 128) copy every
+        # bounce (round-4's fused-shade glue tax).
+        if rows.shape[1] < 128:
+            rows = np.pad(rows, ((0, 0), (0, 128 - rows.shape[1])))
     return rows
 
 

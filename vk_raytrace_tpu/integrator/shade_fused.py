@@ -61,9 +61,15 @@ _AUX = {
     "lrow": 21,   # 12: ldir3, lcontrib3, ldist, lpdf, use_light, envmiss3
     "state": 33,  # 9: radiance3, throughput3, absorption3
     "draws": 42,  # 6: prob, r1, r2, u_trans, u_reflect, u_lobe
-    "irow": 48,   # 24: instance o2w | w2o rows (instanced scenes)
+    "irow": 48,   # 24: instance o2w | w2o rows (instanced scenes ONLY —
+                  #     single-level scenes stop at 48 lanes; round-4's
+                  #     fixed 96-lane aux wrote 24 zero lanes + 24 pad
+                  #     lanes of pure HBM tax per bounce)
 }
-_AUXW = 96
+
+
+def _auxw(instanced: bool) -> int:
+    return _AUX["irow"] + 24 if instanced else _AUX["irow"]
 
 
 def enabled() -> bool:
@@ -285,9 +291,11 @@ def _make_kernel(features, full_mis: bool, instanced: bool):
     """Build the bounce-shading kernel. All flags are static."""
 
     def kern(
-        srow_ref,      # (B, 128) f32 merged shade+material row (lane-padded)
+        srow_ref,      # (B, 128) f32 merged shade+material row (the TABLE
+                       #   is padded to 128 lanes, integrator/shade.py —
+                       #   the gather feeds the kernel directly)
         taps_ref,      # (B, 16) i32: 4 textures x (c00 c10 c01 c11)
-        aux_ref,       # (B, 96) f32: every narrow per-lane input in ONE
+        aux_ref,       # (B, _auxw) f32: every narrow per-lane input in ONE
                        #   array (single wide in-VMEM transpose instead of
                        #   many non-tile-aligned ones); layout in _AUX
         out_vec_ref,   # (B, 24) f32: new_origin3 new_dir3 radiance3
@@ -864,16 +872,22 @@ def _interpret_mode() -> bool:
         return True
 
 
-def _tex_index_weights(srow, name, uv, tap_rows, atlas_w, n_rows):
+def _tex_index_weights(srow, name, uv, tap_rows, atlas_w, n_rows, lod=None):
     """The index half of integrator/shade.py::_tap_footprint: per-lane base
-    texel + axis weights from the material placement lanes."""
-    from .shade import _axis_base
+    texel + axis weights from the material placement lanes. With ``lod``,
+    nearest-mip placement rides the same lanes (shade.py::_mip_lanes) —
+    level selection is pure XLA index math, the kernel is unchanged."""
+    from .shade import _axis_base, _mip_lanes
 
     o = _SROW_MAT0 + _OFFS[f"{name}_tex"]
-    ox = srow[:, o + 1].astype(jnp.int32)
-    oy = srow[:, o + 2].astype(jnp.int32)
-    w = jnp.maximum(srow[:, o + 3].astype(jnp.int32), 1)
-    h = jnp.maximum(srow[:, o + 4].astype(jnp.int32), 1)
+    if lod is not None:
+        prow = srow[:, _SROW_MAT0:_SROW_MAT0 + _PACK_LANES]
+        ox, oy, w, h = _mip_lanes(prow, _OFFS[f"{name}_tex"], lod)
+    else:
+        ox = srow[:, o + 1].astype(jnp.int32)
+        oy = srow[:, o + 2].astype(jnp.int32)
+        w = jnp.maximum(srow[:, o + 3].astype(jnp.int32), 1)
+        h = jnp.maximum(srow[:, o + 4].astype(jnp.int32), 1)
     wrap = srow[:, o + 5].astype(jnp.int32)
     ws, wt = wrap // 3, wrap % 3
     px = uv[:, 0] * w.astype(jnp.float32) - 0.5
@@ -901,6 +915,9 @@ def shade_bounce_fused(
     bsdf_pdf,
     instances=None,
     sun_disk: bool = False,
+    mip=None,  # (pixel_spread, tdist-including-this-hit) for ray-cone mip
+               # LOD; None = sample the base level (LOD selection is pure
+               # XLA index math feeding the tap gathers — kernel unchanged)
 ):
     """Run the fused shading stage for one pooled bounce.
 
@@ -910,6 +927,11 @@ def shade_bounce_fused(
     """
     r = st_direction.shape[0]
     miss = active & (hit.tri < 0)
+    instanced = instances is not None
+    if instanced:
+        ii = jnp.maximum(hit.inst, 0)
+        o2w = instances.object_to_world[ii]               # (R, 3, 4)
+        w2o = instances.world_to_object[ii]
 
     # ---- RNG draws, reference order (pathtrace.glsl DirectLight+Sample) ---
     seed, u_sel = rng.rand(seed)
@@ -947,6 +969,29 @@ def shade_bounce_fused(
         axis=-1,
     )
 
+    # Ray-cone mip level (integrator/path.py::cone_lod semantics): the
+    # texture-independent footprint log, computed from the already-gathered
+    # shade row; _mip_lanes adds the per-texture terms.
+    lod = None
+    if mip is not None:
+        spread, tdist = mip
+        p3 = srow[:, 0:9].reshape(-1, 3, 3)
+        e1 = p3[:, 1] - p3[:, 0]
+        e2 = p3[:, 2] - p3[:, 0]
+        if instanced:
+            m3w = o2w[:, :, :3]
+            e1 = jnp.einsum("rij,rj->ri", m3w, e1)
+            e2 = jnp.einsum("rij,rj->ri", m3w, e2)
+        area_w = jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+        uvt3 = srow[:, 22:28].reshape(-1, 3, 2)
+        u1 = uvt3[:, 1] - uvt3[:, 0]
+        u2 = uvt3[:, 2] - uvt3[:, 0]
+        area_uv = jnp.abs(u1[:, 0] * u2[:, 1] - u1[:, 1] * u2[:, 0])
+        uv_density = 0.5 * jnp.log2(
+            jnp.maximum(area_uv, 1e-20) / jnp.maximum(area_w, 1e-20)
+        )
+        lod = uv_density + jnp.log2(jnp.maximum(spread * tdist, 1e-20))
+
     atlas_w = scene.atlas.data.shape[1]
     tap_rows = scene.tap_rows
     n_tap = tap_rows.shape[0] if tap_rows is not None else 1
@@ -960,7 +1005,7 @@ def shade_bounce_fused(
     ):
         if on:
             flat, gx, gy = _tex_index_weights(
-                srow, name, uv, tap_rows, atlas_w, n_tap
+                srow, name, uv, tap_rows, atlas_w, n_tap, lod=lod
             )
             taps.append(
                 jax.lax.bitcast_convert_type(tap_rows[flat], jnp.int32)
@@ -1009,7 +1054,6 @@ def shade_bounce_fused(
         )
         env = env * w_env[..., None]
 
-    instanced = instances is not None
     aux_parts = [
         gxy,                                            # 8
         uv,                                             # 2
@@ -1026,19 +1070,13 @@ def shade_bounce_fused(
                   axis=-1),                             # draws: 6
     ]
     if instanced:
-        ii = jnp.maximum(hit.inst, 0)
-        aux_parts += [
-            instances.object_to_world[ii].reshape(r, 12),
-            instances.world_to_object[ii].reshape(r, 12),
-        ]
-    else:
-        aux_parts.append(jnp.zeros((r, 24), jnp.float32))
-    aux = jnp.concatenate(aux_parts, axis=1)            # (R, 72)
-    aux = jnp.pad(aux, ((0, 0), (0, _AUXW - aux.shape[1])))
+        aux_parts += [o2w.reshape(r, 12), w2o.reshape(r, 12)]
+    aux = jnp.concatenate(aux_parts, axis=1)            # (R, _auxw)
+    assert aux.shape[1] == _auxw(instanced), aux.shape
 
-    # pad lanes of srow to 128 for clean kernel blocks
-    if srow.shape[1] < 128:
-        srow = jnp.pad(srow, ((0, 0), (0, 128 - srow.shape[1])))
+    # The merged shade-row TABLE is 128-lane padded (integrator/shade.py),
+    # so the gather feeds the kernel directly — no per-bounce (R, 128) pad.
+    assert srow.shape[1] == 128, srow.shape
 
     # pad rays to block multiple
     rp = max(_BLK, (r + _BLK - 1) // _BLK * _BLK)
@@ -1056,7 +1094,7 @@ def shade_bounce_fused(
     out_vec, out_msk = pl.pallas_call(
         kern,
         grid=(rp // _BLK,),
-        in_specs=[rm(128), rm(16), rm(_AUXW)],
+        in_specs=[rm(128), rm(16), rm(_auxw(instanced))],
         out_specs=[rm(24), rm(8)],
         out_shape=[
             jax.ShapeDtypeStruct((rp, 24), jnp.float32),

@@ -189,20 +189,25 @@ def render_units_pooled(
 
     from . import shade_fused
 
-    use_fused_shade = (
-        shade_fused.supported(cfg, scene, features, is_instanced)
-        and not use_mips  # level selection not yet in the fused prologue
-    )
+    use_fused_shade = shade_fused.supported(cfg, scene, features, is_instanced)
 
     def shade_stage_fused(st: PoolState, hit, seed):
         """Pallas-fused shading (integrator/shade_fused.py): same clauses as
         :func:`shade_stage_xla`, one kernel instead of ~40 XLA ops."""
+        if use_mips:
+            tdist = st.tdist + jnp.where(
+                hit.tri >= 0, jnp.minimum(hit.t, 1e30), 0.0
+            )
+            mip = (spread, tdist)
+        else:
+            mip = None
         out = shade_fused.shade_bounce_fused(
             scene, features, full_mis, p_select_light, hdr_mult,
             hit, st.origin, st.direction, seed, st.active,
             st.radiance, st.throughput, st.absorption, st.bsdf_pdf,
             instances=packed.inst if is_instanced else None,
             sun_disk=cfg.sun_disk,
+            mip=mip,
         )
         return (
             out["radiance"], out["alive"], out["throughput"],

@@ -321,9 +321,22 @@ render_pool = functools.partial(
 
 # Pooled-dispatch sizing: paths per device program (watchdog bound) and the
 # lane-pool width (VMEM/HBM state is ~200 B/lane + the traversal stack).
-# Env-overridable for hardware tuning sweeps (scripts/ablate.py).
-MAX_PATHS_PER_DISPATCH = int(os.environ.get("VKRT_DISPATCH", 1 << 21))
-POOL_LANES = int(os.environ.get("VKRT_POOL", 1 << 19))
+# Env-overridable for hardware tuning sweeps (scripts/ablate.py); read at
+# CALL time — pool/dispatch are static jit args, so in-process A/B sweeps
+# key cleanly without riding trace_env_key.
+
+
+def max_paths_per_dispatch() -> int:
+    return int(os.environ.get("VKRT_DISPATCH", 1 << 21))
+
+
+def pool_lanes() -> int:
+    return int(os.environ.get("VKRT_POOL", 1 << 19))
+
+
+# Backwards-compat module constants (scripts/ablate.py reads these).
+MAX_PATHS_PER_DISPATCH = max_paths_per_dispatch()
+POOL_LANES = pool_lanes()
 
 
 def _dispatch_with_cache_repair(jitted, *args, **kw):
@@ -505,12 +518,12 @@ class Renderer:
         h, w = self.cfg.height, self.cfg.width
         cfg = self._run_cfg
         total_px = h * w
-        px_per_dispatch = max(1, MAX_PATHS_PER_DISPATCH // max(cfg.max_samples, 1))
+        px_per_dispatch = max(1, max_paths_per_dispatch() // max(cfg.max_samples, 1))
         n = max(1, -(-total_px // px_per_dispatch))
         while total_px % n:
             n += 1
         n_pix = total_px // n
-        pool = min(POOL_LANES, max(1024, n_pix * cfg.max_samples))
+        pool = min(pool_lanes(), max(1024, n_pix * cfg.max_samples))
         parts = []
         ray_counts = []
         # Dispatch every slice without touching host values: converting the
