@@ -13,8 +13,15 @@ NATIVE_ARCH ?= x86-64-v2
 $(NATIVE_LIB): $(NATIVE_SRC)
 	g++ -O3 -march=$(NATIVE_ARCH) -shared -fPIC -o $@ $<
 
+# Default tier: unit + parity tests (< 8 min; pytest.ini excludes -m slow).
 test:
 	python -m pytest tests/ -x -q
+
+# Full tier: everything, including anchors / goldens / big-scene renders.
+# Runbook: run in one process; ~30 min on this host. The conftest clears
+# XLA caches between modules (CPU compiler memory pressure).
+test-full:
+	python -m pytest tests/ -x -q -m ""
 
 bench:
 	python bench.py

@@ -120,6 +120,34 @@ def render_units_pooled(
         if (has_alpha and cfg.use_any_hit)
         else None
     )
+    # Tiled (8x8) unit->pixel order (the reference's SWIZZLED workgroup
+    # layout, pathtrace.comp:65-81): lanes that regenerate together claim
+    # pixels of one 8x8 tile instead of one scanline run, so their primary
+    # rays (and first bounces) traverse the same BVH nodes — duplicated row
+    # indices raise the effective gather bandwidth (scripts/gatherprobe.py).
+    # Estimator-invariant: seeds key on the absolute pixel id; only the
+    # unit->pixel map changes, and the output fold inverts it exactly.
+    tiled = (
+        os.environ.get("VKRT_MORTON", "1") != "0"
+        and w % 8 == 0
+        and n_pix % (w * 8) == 0
+    )
+    tiles_x = w // 8
+
+    def unit_to_local(p_rank):
+        """Slice-local pixel index of pixel-rank ``p_rank`` (tiled order)."""
+        t_id = p_rank // 64
+        w_in = p_rank % 64
+        lx = (t_id % tiles_x) * 8 + (w_in % 8)
+        ly = (t_id // tiles_x) * 8 + (w_in // 8)
+        return ly * w + lx
+
+    def local_to_rank(local):
+        """Inverse of :func:`unit_to_local` (closed form, no tables)."""
+        y, x = local // w, local % w
+        t_id = (y // 8) * tiles_x + (x // 8)
+        w_in = (y % 8) * 8 + (x % 8)
+        return t_id * 64 + w_in
     use_mips = mip_lod_enabled(scene, cfg)
     spread = pixel_spread(scene, h) if use_mips else None
     p_select_light = 0.5 if cfg.hdr_multiplier > 0.0 else 1.0
@@ -136,7 +164,9 @@ def render_units_pooled(
         granted = dead & (unit < total_units)
         n_granted = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), remaining)
 
-        upix = pix0.astype(jnp.uint32) + (unit // spp).astype(jnp.uint32)
+        p_rank = unit // spp
+        local = unit_to_local(p_rank) if tiled else p_rank
+        upix = pix0.astype(jnp.uint32) + local.astype(jnp.uint32)
         usamp = (unit % spp).astype(jnp.uint32)
         seed_new = rng.tea(
             upix, stream.astype(jnp.uint32) * spp + usamp
@@ -508,8 +538,11 @@ def render_units_pooled(
         st = jax.lax.while_loop(cond_hi, iteration, st0)
         st = jax.lax.while_loop(cond_mid, iteration, compact(st, q))
         st = jax.lax.while_loop(cond, iteration, compact(st, s))
-    # Fold per-unit radiance to per-pixel means (unit = pixel*spp + sample).
+    # Fold per-unit radiance to per-pixel means (unit = rank*spp + sample);
+    # tiled order un-swizzles with one closed-form gather.
     img = st.out.reshape(n_pix, spp, 3).sum(axis=1) / jnp.float32(spp)
+    if tiled:
+        img = img[local_to_rank(jnp.arange(n_pix, dtype=jnp.int32))]
     if track_occupancy:
         return img, st.steps, st.rays, st.occ
     return img, st.steps, st.rays
