@@ -77,8 +77,18 @@ def main():
 
         def step(rows_in, oo, dd, cur, rowid, meta, stack):
             if gather:
-                return TF._step(rows_in, kern, stack_depth, W, n_meta,
-                                oo, dd, cur, rowid, meta, stack)
+                out = TF._step(rows_in, kern, stack_depth, W, n_meta,
+                               oo, dd, cur, rowid, meta, stack)
+                if specs_loop[0] == "hbmpin":
+                    # Pin the carry to HBM: does forbidding the memory-space
+                    # pass's VMEM round trips remove the staging copies?
+                    from jax.experimental.pallas import tpu as _pt
+
+                    out = tuple(
+                        _pt.with_memory_space_constraint(a, _pt.MemorySpace.HBM)
+                        for a in out
+                    )
+                return out
             # no-gather variant: a contiguous slice stands in for the row
             # block (timing only; traversal results are wrong)
             from jax.experimental import pallas as pl
@@ -163,9 +173,10 @@ def main():
         # plumbing — attributes the scan-boundary staging copies
         "unroll": dict(stack_depth=k_stack, gather=True, alias=True),
         "while": dict(stack_depth=k_stack, gather=True, alias=True),
+        "hbmpin": dict(stack_depth=k_stack, gather=True, alias=True),
     }
     for name in variants:
-        specs_loop[0] = name if name in ("unroll", "while") else "scan"
+        specs_loop[0] = name if name in ("unroll", "while", "hbmpin") else "scan"
         run, init = build_scan(**specs[name])
         out = jax.block_until_ready(run(*init))
         t0 = time.perf_counter()
