@@ -101,6 +101,18 @@ def main():
         ms, gbps = bench(rowsw, rand)
         print(f"  random @{lanes*4}B rows: {ms:7.2f} ms  {gbps:7.1f} GB/s",
               flush=True)
+    # Table-size sweep: random gathers from small tables. If a table that
+    # fits VMEM gathers dramatically faster (XLA can hoist the loop-
+    # invariant table into VMEM), a gather-free/cheap tree-top descent
+    # prologue is worth building; if size-insensitive, the cost is pure
+    # output materialization and only STEP COUNT reduction helps.
+    for xs in (16, 272, 4352, 60000):
+        rows_s = rng.rand(xs, 128).astype(np.float32)
+        idx_s = (np.arange(n, dtype=np.int64) * 2654435761) % xs
+        ms, gbps = bench(rows_s, idx_s)
+        kb = xs * 512 // 1024
+        print(f"  random table={xs:6d} rows ({kb:6d} KB): {ms:7.2f} ms  "
+              f"{gbps:7.1f} GB/s", flush=True)
 
 
 if __name__ == "__main__":

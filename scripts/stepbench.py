@@ -64,11 +64,11 @@ def main():
     W = planar.width
     specs_loop = ["scan"]  # mutated per variant below
 
-    def build_scan(stack_depth, gather, alias):
+    def build_scan(stack_depth, gather, alias, ablate=()):
         n_meta = 8
         kern = TF._make_step_kernel(
             True, False, stack_depth, W, candidates=False,
-            n_rows=int(rows.shape[0]),
+            n_rows=int(rows.shape[0]), _ablate=ablate,
         )
         if not alias:
             os.environ["VKRT_NOALIAS"] = "1"
@@ -80,14 +80,15 @@ def main():
                 out = TF._step(rows_in, kern, stack_depth, W, n_meta,
                                oo, dd, cur, rowid, meta, stack)
                 if specs_loop[0] == "hbmpin":
-                    # Pin the carry to HBM: does forbidding the memory-space
-                    # pass's VMEM round trips remove the staging copies?
+                    # Pin the BIG carries (meta, stack) to HBM: does
+                    # forbidding the memory-space pass's VMEM round trips
+                    # remove the staging copies? cur/rowid stay unpinned —
+                    # the XLA row gather cannot consume a space-typed array.
                     from jax.experimental.pallas import tpu as _pt
 
-                    out = tuple(
-                        _pt.with_memory_space_constraint(a, _pt.MemorySpace.HBM)
-                        for a in out
-                    )
+                    pin = lambda a: _pt.with_memory_space_constraint(
+                        a, _pt.MemorySpace.HBM)
+                    out = (out[0], out[1], pin(out[2]), pin(out[3]))
                 return out
             # no-gather variant: a contiguous slice stands in for the row
             # block (timing only; traversal results are wrong)
@@ -126,7 +127,19 @@ def main():
             )(row, oo, dd, cur, rowid, meta, stack)
 
         loop = specs_loop[0]
-        if loop == "unroll":
+        if loop == "noloop":
+            # 8 INDEPENDENT kernel calls (no loop-carried state): bounds the
+            # cost of the carry chain itself. Production steps are data-
+            # dependent, so this also lets XLA overlap gathers across steps
+            # — treat it as a lower bound, not an achievable target.
+            @jax.jit
+            def run(cur, rowid, meta, stack):
+                outs = []
+                for k in range(8):
+                    s = step(rows, o4, d4, cur + k, rowid, meta, stack)
+                    outs.append(s[2][0, 0])
+                return jnp.stack(outs).sum()
+        elif loop == "unroll":
             @jax.jit
             def run(cur, rowid, meta, stack):
                 s = (cur, rowid, meta, stack)
@@ -145,13 +158,28 @@ def main():
                 )
                 return cur.sum(), meta.sum()
         else:
+            pin_carry = loop == "hbmpin"
+
             @jax.jit
             def run(cur, rowid, meta, stack):
+                if pin_carry:
+                    # The constraint is part of the type: pin the carry INIT
+                    # too so scan's in/out carry types match.
+                    from jax.experimental.pallas import tpu as _pt
+
+                    pin = lambda a: _pt.with_memory_space_constraint(
+                        a, _pt.MemorySpace.HBM)
+                    meta, stack = pin(meta), pin(stack)
+
                 def body(s, _):
                     return step(rows, o4, d4, *s), None
                 (cur, rowid, meta, stack), _ = jax.lax.scan(
                     body, (cur, rowid, meta, stack), None, length=8
                 )
+                if pin_carry:
+                    # A space-typed array cannot feed XLA reductions;
+                    # return it raw (timing only needs block_until_ready).
+                    return cur.sum(), meta
                 return cur.sum(), meta.sum()
 
         cur0 = jnp.zeros((1, P), jnp.int32)
@@ -174,9 +202,26 @@ def main():
         "unroll": dict(stack_depth=k_stack, gather=True, alias=True),
         "while": dict(stack_depth=k_stack, gather=True, alias=True),
         "hbmpin": dict(stack_depth=k_stack, gather=True, alias=True),
+        "noloop": dict(stack_depth=k_stack, gather=True, alias=False),
+        # Kernel-internal ablations (TIMING ONLY — results wrong): each
+        # replaces one kernel stage with same-shape garbage.
+        "notrans": dict(stack_depth=k_stack, gather=True, alias=True,
+                        ablate=("notrans",)),
+        "nosort": dict(stack_depth=k_stack, gather=True, alias=True,
+                       ablate=("nosort",)),
+        "noslab": dict(stack_depth=k_stack, gather=True, alias=True,
+                       ablate=("noslab",)),
+        "nomt": dict(stack_depth=k_stack, gather=True, alias=True,
+                     ablate=("nomt",)),
+        "nopush": dict(stack_depth=k_stack, gather=True, alias=True,
+                       ablate=("nopush",)),
+        "kmin": dict(stack_depth=k_stack, gather=True, alias=True,
+                     ablate=("notrans", "nosort", "noslab", "nomt", "nopush")),
     }
     for name in variants:
-        specs_loop[0] = name if name in ("unroll", "while", "hbmpin") else "scan"
+        specs_loop[0] = (
+            name if name in ("unroll", "while", "hbmpin", "noloop") else "scan"
+        )
         run, init = build_scan(**specs[name])
         out = jax.block_until_ready(run(*init))
         t0 = time.perf_counter()

@@ -245,7 +245,12 @@ def _bitonic(key, ref, sub, width):
 
 def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
                       stack_depth: int, width: int = 8,
-                      candidates: bool = False, n_rows: int = 1):
+                      candidates: bool = False, n_rows: int = 1,
+                      _ablate: tuple = ()):
+    """``_ablate`` is for scripts/stepbench.py TIMING ATTRIBUTION ONLY —
+    each entry replaces one kernel stage with same-shape garbage of ~zero
+    cost ('notrans', 'nosort', 'noslab', 'nomt'); traversal results are
+    wrong with any of them set."""
     W = width
     LT = W // 2                 # leaf triangles per row
     CB = LT.bit_length() - 1    # leaf-count bits: 4 tris -> 2, 8 tris -> 3
@@ -253,7 +258,12 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
     def kern(row_ref, o_ref, d_ref, cur_ref, rowid_ref, meta_ref,
              stack_ref, ncur_ref, nrowid_ref, nmeta_ref, nstack_ref):
         del rowid_ref  # consumed by the XLA row gather, carried through here
-        rowT = row_ref[:].T                     # one in-VMEM transpose
+        if "notrans" in _ablate:
+            rowT = jax.lax.broadcasted_iota(
+                jnp.int32, (row_ref.shape[1], row_ref.shape[0]), 0
+            ).astype(jnp.float32)
+        else:
+            rowT = row_ref[:].T                 # one in-VMEM transpose
         cur = cur_ref[:]                        # (1, B) i32
         depth = meta_ref[_M_DEPTH:_M_DEPTH + 1, :].astype(jnp.int32)
         t_best = meta_ref[_M_T:_M_T + 1, :]
@@ -285,25 +295,31 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         bxm, bym, bzm = rowT[0:W], rowT[W:2 * W], rowT[2 * W:3 * W]
         bxM, byM, bzM = rowT[3 * W:4 * W], rowT[4 * W:5 * W], rowT[5 * W:6 * W]
         child_ref = rowT[6 * W:7 * W]
-        lx = (bxm - ox) * ix
-        hx = (bxM - ox) * ix
-        ly = (bym - oy) * iy
-        hy = (byM - oy) * iy
-        lz = (bzm - oz) * iz
-        hz = (bzM - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(lx, hx), jnp.minimum(ly, hy)),
-            jnp.minimum(lz, hz),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(lx, hx), jnp.maximum(ly, hy)),
-            jnp.maximum(lz, hz),
-        )
+        if "noslab" in _ablate:
+            tn = tf = jnp.broadcast_to(dx, bxm.shape)
+        else:
+            lx = (bxm - ox) * ix
+            hx = (bxM - ox) * ix
+            ly = (bym - oy) * iy
+            hy = (byM - oy) * iy
+            lz = (bzm - oz) * iz
+            hz = (bzM - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(lx, hx), jnp.minimum(ly, hy)),
+                jnp.minimum(lz, hz),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(lx, hx), jnp.maximum(ly, hy)),
+                jnp.maximum(lz, hz),
+            )
         hit_c = (bxm <= bxM) & (tn <= tf) & (tf >= 0.0) & (tn < t_prune)
         key = jnp.where(hit_c, tn, _INF)
 
         subw = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
-        skey, sref = _bitonic(key, child_ref, subw, W)
+        if "nosort" in _ablate:
+            skey, sref = key, child_ref
+        else:
+            skey, sref = _bitonic(key, child_ref, subw, W)
         near_ref = sref[0:1, :].astype(jnp.int32)
         has_child = skey[0:1, :] < _INF
         n_valid = jnp.sum((skey < _INF).astype(jnp.int32), axis=0, keepdims=True)
@@ -312,13 +328,16 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         lane_d = jax.lax.broadcasted_iota(jnp.int32, (stack_depth, cur.shape[1]), 0)
         jj = lane_d - depth
         kk = (n_valid - 1) - jj
-        val = jnp.zeros((stack_depth, cur.shape[1]), jnp.float32)
-        for c in range(1, W):
-            val = val + sref[c:c + 1, :] * (kk == c)
         do_push = is_wide & has_child
         push_sel = do_push & (jj >= 0) & (kk >= 1)
         stack_old = stack_ref[:]
-        new_stack = jnp.where(push_sel, val.astype(jnp.int32), stack_old)
+        if "nopush" in _ablate:
+            new_stack = stack_old
+        else:
+            val = jnp.zeros((stack_depth, cur.shape[1]), jnp.float32)
+            for c in range(1, W):
+                val = val + sref[c:c + 1, :] * (kk == c)
+            new_stack = jnp.where(push_sel, val.astype(jnp.int32), stack_old)
         n_push = jnp.where(do_push, n_valid - 1, 0)
         new_depth = jnp.minimum(depth + n_push, stack_depth)
         # Short-stack overflow: pushes past the streamed K rows are DROPPED
@@ -340,25 +359,30 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
         orig = tmeta >> 2
         flags = tmeta & 0x3
 
-        e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-        e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        det_ok = jnp.abs(det) > 1e-12
-        if cull_backface:
-            facing_ok = ((flags & 1) != 0) | (det > 1e-12)
-        else:
+        if "nomt" in _ablate:
+            uu = vv = tt = jnp.broadcast_to(dx, p0x.shape)
+            det_ok = uu > 0.0
             facing_ok = det_ok
-        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
-        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        else:
+            e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+            e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            det_ok = jnp.abs(det) > 1e-12
+            if cull_backface:
+                facing_ok = ((flags & 1) != 0) | (det > 1e-12)
+            else:
+                facing_ok = det_ok
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
         tri_lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
         geo_ok = (
             is_leaf
@@ -475,6 +499,57 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
 
 def _pad_to_block(r: int) -> int:
     return max(BLK, (r + BLK - 1) // BLK * BLK)
+
+
+def _root_descend(rows, W, k_rows, origin_p, inv_d, t_max_p, cur0, meta0):
+    """XLA prologue replacing the scan's FIRST kernel step.
+
+    Every lane's step 0 processes row 0 (the root) — a gather that is a
+    pure broadcast plus a full-width kernel dispatch (~5 ms at 524k
+    lanes). The same work in XLA against the ONE broadcast root row fuses
+    into the ray-setup elementwise chain: slab-test the W children, order
+    by entry distance, enter the scan at the nearest child with the rest
+    pre-pushed far-to-near on the stack. Exactly reproduces the kernel's
+    step semantics (key = where(hit, tn, INF); push far-to-near;
+    depth/overflow bookkeeping; steps counter +1 for active lanes), so
+    traversal results are identical; only tie ORDER among equal-tn
+    children may differ (jax.lax.sort is stable, the kernel's bitonic
+    network is not), which cannot change any best-hit outcome.
+
+    Returns post-root (cur, stack, meta); ``cur0`` keeps TERM lanes
+    (prefilter/active-mask) terminal.
+    """
+    rb = rows[0]                                     # (W*8,) planar root row
+    valid = rb[0:W] <= rb[3 * W:4 * W]               # (W,)
+    bmin = jnp.stack([rb[0:W], rb[W:2 * W], rb[2 * W:3 * W]], axis=-1)
+    bmax = jnp.stack([rb[3 * W:4 * W], rb[4 * W:5 * W], rb[5 * W:6 * W]], -1)
+    refs = rb[6 * W:7 * W]                           # (W,) f32 child refs
+    lo = (bmin[None] - origin_p[:, None, :]) * inv_d[:, None, :]  # (R, W, 3)
+    hi = (bmax[None] - origin_p[:, None, :]) * inv_d[:, None, :]
+    tn = jnp.max(jnp.minimum(lo, hi), axis=-1)       # (R, W)
+    tf = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    hit = valid[None] & (tn <= tf) & (tf >= 0.0) & (tn < t_max_p[:, None])
+    key = jnp.where(hit, tn, _INF)
+    ref_b = jnp.broadcast_to(refs[None, :], key.shape)
+    skey, sref = jax.lax.sort((key, ref_b), dimension=1, num_keys=1)
+    sref = sref.astype(jnp.int32)
+    n_valid = jnp.sum(hit.astype(jnp.int32), axis=1)             # (R,)
+    active = cur0 != TERM
+    has_child = n_valid > 0
+    new_cur = jnp.where(active & has_child, sref[:, 0], TERM)
+    # Stack rows [0, n_valid-2] = children far-to-near (kernel push order).
+    lane_d = jnp.arange(k_rows, dtype=jnp.int32)
+    kk = (n_valid[:, None] - 1) - lane_d[None, :]                # (R, K)
+    sel = active[:, None] & (kk >= 1)
+    val = jnp.take_along_axis(sref, jnp.clip(kk, 0, W - 1), axis=1)
+    stack = jnp.where(sel, val, 0).T.astype(jnp.int32)           # (K, R)
+    n_push = jnp.where(active & has_child, n_valid - 1, 0)
+    depth = jnp.minimum(n_push, k_rows)
+    ovf = (active & (n_push > k_rows)).astype(jnp.float32)
+    meta = meta0.at[_M_DEPTH].set(depth.astype(jnp.float32))
+    meta = meta.at[_M_STEPS].set(active.astype(jnp.float32))
+    meta = meta.at[_M_OVF].set(ovf)
+    return new_cur, stack, meta
 
 
 def root_prefilter(
@@ -648,7 +723,26 @@ def _traverse_fused(
     # Short stack: stream only K rows per step (see STACK_ROWS). Lanes that
     # overflow K re-run below with the full-depth kernel.
     k_stack = min(stack_depth, STACK_ROWS)
-    stack0 = jnp.zeros((k_stack, r), jnp.int32)
+
+    # Root-descent prologue (VKRT_ROOTPRO=0 disables): the first kernel
+    # step is identical for every lane (row 0), so it runs as fused XLA on
+    # the broadcast root row instead of a full-width kernel dispatch —
+    # one fewer scan step AND one fewer gathered row per ray, per
+    # dispatch. Two-level mode (per-lane BLAS roots) keeps the kernel
+    # path: the root row differs per lane there.
+    use_rootpro = root0 is None and os.environ.get("VKRT_ROOTPRO", "1") != "0"
+    cur_base, meta_base = cur0, meta0
+
+    def restart_state(k_rows):
+        """Traversal start state at stack size ``k_rows`` (the overflow
+        re-run tiers restart from scratch with the full-depth stack)."""
+        if use_rootpro:
+            return _root_descend(
+                rows, W, k_rows, origin_p, inv_d, t_max_p, cur_base, meta_base
+            )
+        return cur_base, jnp.zeros((k_rows, r), jnp.int32), meta_base
+
+    cur0, stack0, meta0 = restart_state(k_stack)
 
     kern = _make_step_kernel(
         cull_backface, any_hit_mode, k_stack, W, candidates=return_uvt,
@@ -757,30 +851,22 @@ def _traverse_fused(
         n_ovf = jnp.sum(ovf.astype(jnp.int32))
 
         def full_rerun(meta_m):
-            cur_s = jnp.where(ovf, cur0, TERM)[None, :]
-            st = (
-                cur_s, rowid_of(cur_s), meta0,
-                jnp.zeros((stack_depth, r), jnp.int32),
-            )
+            cur_f, stack_f, meta_f = restart_state(stack_depth)
+            cur_s = jnp.where(ovf, cur_f, TERM)[None, :]
+            st = (cur_s, rowid_of(cur_s), meta_f, stack_f)
             st = run_phase(st, o4, d4, 0, step_fn=step_full)
             return jnp.where(ovf[None, :], st[2], meta_m)
 
         size = min(r, max(BLK, (r // 16 + BLK - 1) // BLK * BLK))
 
         def tier_rerun(meta_m):
+            cur_f, stack_f, meta_f = restart_state(stack_depth)
             (idx,) = jnp.nonzero(ovf, size=size, fill_value=r)
             safe = jnp.minimum(idx, r - 1)
             valid = idx < r
-            cur_s = jnp.where(valid, cur0[safe], TERM)[None, :]
-            m0 = jnp.zeros((n_meta, size), jnp.float32)
-            m0 = m0.at[_M_T].set(t_max_p[safe])
-            m0 = m0.at[_M_TRI].set(-1.0)
-            if return_uvt:
-                m0 = m0.at[_M_CT].set(t_max_p[safe])
-                m0 = m0.at[_M_CTRI].set(-1.0)
+            cur_s = jnp.where(valid, cur_f[safe], TERM)[None, :]
             st = (
-                cur_s, rowid_of(cur_s), m0,
-                jnp.zeros((stack_depth, size), jnp.int32),
+                cur_s, rowid_of(cur_s), meta_f[:, safe], stack_f[:, safe],
             )
             st = run_phase(
                 st, o4[:, safe], d4[:, safe], 0, step_fn=step_full

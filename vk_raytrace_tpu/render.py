@@ -250,7 +250,7 @@ _TRACE_ENVS = (
     "VKRT_FUSED", "VKRT_FUSED_SHADE", "VKRT_FUSED_ALPHA", "VKRT_TIERS",
     "VKRT_ABLATE", "VKRT_MIP_SAMPLE", "VKRT_MIP_BIAS", "VKRT_MERGED_MAT",
     "VKRT_UNROLL", "VKRT_NOALIAS", "VKRT_BLK", "VKRT_PHASE_DIVS",
-    "VKRT_ANALYTIC_SUN", "VKRT_MORTON",
+    "VKRT_ANALYTIC_SUN", "VKRT_MORTON", "VKRT_ROOTPRO",
 )
 
 
@@ -331,7 +331,11 @@ def max_paths_per_dispatch() -> int:
 
 
 def pool_lanes() -> int:
-    return int(os.environ.get("VKRT_POOL", 1 << 19))
+    # 2^18 measured 4.7% faster than 2^19 on the atrium 1080p bench (round-5
+    # pool sweep, docs/PERFORMANCE.md): the smaller carry halves the per-step
+    # traversal state traffic and the extra regeneration rounds are cheaper
+    # than the saving.
+    return int(os.environ.get("VKRT_POOL", 1 << 18))
 
 
 # Backwards-compat module constants (scripts/ablate.py reads these).
