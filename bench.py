@@ -162,7 +162,15 @@ def _ceiling_stats(r, w, h):
         rows_host, ps.width, so, np.broadcast_to(sun, so.shape).copy()
     )
     rows_closest = (prim.mean() + 3.0 * sec.mean()) / 4.0
-    rows_per_ray = 0.5 * rows_closest + 0.5 * shadow.mean()
+    rows_shadow = shadow.mean()
+    # Root-descent prologue (traverse_fused.py::_root_descend, default on):
+    # the root visit still happens logically (the counter includes it) but
+    # its row is a broadcast in XLA, not a gather — one fewer gathered row
+    # per traversal.
+    if os.environ.get("VKRT_ROOTPRO", "1") != "0":
+        rows_closest = max(rows_closest - 1.0, 0.1)
+        rows_shadow = max(rows_shadow - 1.0, 0.1)
+    rows_per_ray = 0.5 * rows_closest + 0.5 * rows_shadow
 
     # Measured gather bandwidth over the production table on this device.
     dev_rows = jnp.asarray(ps.rows)

@@ -30,7 +30,7 @@ _BASE_KEYS = [
     "VKRT_MIP_SAMPLE", "VKRT_FUSED_SHADE", "VKRT_FUSED", "VKRT_FUSED_ALPHA",
     "VKRT_TIERS", "VKRT_ABLATE", "VKRT_MERGED_MAT", "VKRT_UNROLL",
     "VKRT_NOALIAS", "VKRT_PHASE_DIVS", "VKRT_ANALYTIC_SUN", "VKRT_MORTON",
-    "VKRT_POOL", "VKRT_DISPATCH", "VKRT_STACK",
+    "VKRT_POOL", "VKRT_DISPATCH", "VKRT_STACK", "VKRT_ROOTPRO",
 ]
 
 

@@ -76,7 +76,8 @@ def _configs():
     }
 
 
-def run_config(idx, spec, frames, rmse_res, scale):
+def run_config(idx, spec, frames, rmse_res, scale, accum_minutes=0,
+               accum_png=None):
     import dataclasses
 
     import jax
@@ -100,6 +101,38 @@ def run_config(idx, spec, frames, rmse_res, scale):
     r.step()
     jax.block_until_ready(r.accum)
     warm_s = time.time() - t0 - build_s
+
+    accum_out = None
+    if accum_minutes:
+        # Config #5 AS CONFIGURED: progressive accumulation toward 1024 spp
+        # (pathtrace.rgen:96-107 / sample_example.cpp:407-408 semantics),
+        # TIME-BOXED — report spp reached, spp/hour and total rays within
+        # the wall budget, plus the partial image.
+        budget_s = accum_minutes * 60.0
+        target_spp = 1024
+        ta = time.perf_counter()
+        a_frames, a_rays = 1, r.last_rays  # warm frame is frame 0
+        while (time.perf_counter() - ta) < budget_s and a_frames < target_spp:
+            r.step()
+            jax.block_until_ready(r.accum)
+            a_frames += 1
+            a_rays += r.last_rays
+        a_dt = time.perf_counter() - ta
+        accum_out = {
+            "budget_min": accum_minutes,
+            "spp_reached": a_frames,
+            "target_spp": target_spp,
+            "spp_per_hour": round(a_frames / (a_dt / 3600.0), 1),
+            "rays_total": int(a_rays),
+            "mrays_per_s": round(a_rays / a_dt / 1e6, 3),
+            "hours_to_target": round(target_spp / max(1e-9, a_frames / (a_dt / 3600.0)), 2),
+        }
+        if accum_png:
+            import numpy as np_
+
+            R.write_png(accum_png, np_.asarray(r.postprocess()))
+            accum_out["png"] = accum_png
+
     t0 = time.perf_counter()
     rays = 0
     for _ in range(frames):
@@ -120,6 +153,8 @@ def run_config(idx, spec, frames, rmse_res, scale):
         "warmup_s": round(warm_s, 1),
         "tris": int(np.asarray(geom.indices).shape[0]),
     }
+    if accum_out is not None:
+        out["accumulation"] = accum_out
 
     if rmse_ok and rmse_res:
         out["rmse_vs_brute"] = _rmse_leg(scn, spec, rmse_res)
@@ -165,13 +200,21 @@ def main():
     ap.add_argument("--rmse-res", type=int, default=64)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--accum-minutes", type=float, default=0,
+                    help="config #5: time-boxed 1024-spp accumulation leg")
+    ap.add_argument("--accum-png", default=None,
+                    help="config #5: write the partial accumulation image")
     args = ap.parse_args()
 
     results = []
     for idx in [int(x) for x in args.configs.split(",")]:
         spec = _configs()[idx]
         print(f"== config #{idx}: {spec[0]} ==", file=sys.stderr, flush=True)
-        res = run_config(idx, spec, args.frames, args.rmse_res, args.scale)
+        res = run_config(
+            idx, spec, args.frames, args.rmse_res, args.scale,
+            accum_minutes=(args.accum_minutes if idx == 5 else 0),
+            accum_png=args.accum_png,
+        )
         results.append(res)
         print(json.dumps(res), flush=True)
 
