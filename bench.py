@@ -35,7 +35,10 @@ enable_compile_cache()
 
 W, H = 1920, 1080
 WARMUP_FRAMES = 1
-ITERS = int(os.environ.get("VKRT_BENCH_ITERS", "6"))
+# 12 timed frames (~13 s at the current frame rate): round-4's 6-frame
+# window could not separate a 7% shift from tunnel noise (VERDICT r4 #3);
+# the timing window is still negligible next to the 100-200 s warmup.
+ITERS = int(os.environ.get("VKRT_BENCH_ITERS", "12"))
 
 
 def _build_atrium(w, h):
@@ -163,11 +166,11 @@ def _ceiling_stats(r, w, h):
     )
     rows_closest = (prim.mean() + 3.0 * sec.mean()) / 4.0
     rows_shadow = shadow.mean()
-    # Root-descent prologue (traverse_fused.py::_root_descend, default on):
-    # the root visit still happens logically (the counter includes it) but
-    # its row is a broadcast in XLA, not a gather — one fewer gathered row
-    # per traversal.
-    if os.environ.get("VKRT_ROOTPRO", "1") != "0":
+    # Root-descent prologue (traverse_fused.py::_root_descend, OPT-IN —
+    # measured a 2.8x regression, docs/PERFORMANCE.md round 5): when
+    # enabled the root visit still happens logically (the counter includes
+    # it) but its row is a broadcast in XLA, not a gather.
+    if os.environ.get("VKRT_ROOTPRO") == "1":
         rows_closest = max(rows_closest - 1.0, 0.1)
         rows_shadow = max(rows_shadow - 1.0, 0.1)
     rows_per_ray = 0.5 * rows_closest + 0.5 * rows_shadow

@@ -222,14 +222,17 @@ def main():
         specs_loop[0] = (
             name if name in ("unroll", "while", "hbmpin", "noloop") else "scan"
         )
-        run, init = build_scan(**specs[name])
-        out = jax.block_until_ready(run(*init))
-        t0 = time.perf_counter()
-        n = 6
-        for _ in range(n):
+        try:
+            run, init = build_scan(**specs[name])
             out = jax.block_until_ready(run(*init))
-        dt = (time.perf_counter() - t0) / n / 8
-        print(f"{name:9s} {dt*1e3:7.3f} ms/step @ {P} lanes", flush=True)
+            t0 = time.perf_counter()
+            n = 6
+            for _ in range(n):
+                out = jax.block_until_ready(run(*init))
+            dt = (time.perf_counter() - t0) / n / 8
+            print(f"{name:9s} {dt*1e3:7.3f} ms/step @ {P} lanes", flush=True)
+        except Exception as e:  # one bad variant must not kill the sweep
+            print(f"{name:9s} FAILED: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -243,3 +243,27 @@ def test_short_stack_overflow_tier_rerun(cornell, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(hit_f.t), np.asarray(hit_x.t), rtol=1e-5, atol=1e-6
     )
+
+
+def test_root_descent_prologue_parity(cornell, monkeypatch):
+    """VKRT_ROOTPRO=1 (the XLA root-descent prologue — OPT-IN: measured a
+    2.8x regression on TPU, kept as a documented negative result) must be
+    traversal-exact vs the default all-kernel path."""
+    geom, bundle = cornell
+    o, d = _rays(257, 3, jnp.array([0.0, 1.0, 0.0]), 0.9)
+
+    monkeypatch.delenv("VKRT_ROOTPRO", raising=False)
+    hit_off = tf.closest_hit_fused(bundle.opaque_planar, o, d)
+    monkeypatch.setenv("VKRT_ROOTPRO", "1")
+    hit_on = tf.closest_hit_fused(bundle.opaque_planar, o, d)
+
+    np.testing.assert_array_equal(np.asarray(hit_on.tri), np.asarray(hit_off.tri))
+    np.testing.assert_allclose(
+        np.asarray(hit_on.t), np.asarray(hit_off.t), rtol=1e-6, atol=1e-7
+    )
+    t_max = jnp.full((257,), 0.7)
+    monkeypatch.delenv("VKRT_ROOTPRO", raising=False)
+    occ_off = tf.any_hit_fused(bundle.opaque_planar, o, d, t_max)
+    monkeypatch.setenv("VKRT_ROOTPRO", "1")
+    occ_on = tf.any_hit_fused(bundle.opaque_planar, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(occ_on), np.asarray(occ_off))

@@ -259,9 +259,12 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
              stack_ref, ncur_ref, nrowid_ref, nmeta_ref, nstack_ref):
         del rowid_ref  # consumed by the XLA row gather, carried through here
         if "notrans" in _ablate:
-            rowT = jax.lax.broadcasted_iota(
-                jnp.int32, (row_ref.shape[1], row_ref.shape[0]), 0
-            ).astype(jnp.float32)
+            # Keep the data dependency on the streamed row block but
+            # replace the full (B, 128) transpose with a one-sublane
+            # transpose + lane broadcast (~free).
+            rowT = jnp.broadcast_to(
+                row_ref[0:1, :].T, (row_ref.shape[1], row_ref.shape[0])
+            )
         else:
             rowT = row_ref[:].T                 # one in-VMEM transpose
         cur = cur_ref[:]                        # (1, B) i32
@@ -724,13 +727,16 @@ def _traverse_fused(
     # overflow K re-run below with the full-depth kernel.
     k_stack = min(stack_depth, STACK_ROWS)
 
-    # Root-descent prologue (VKRT_ROOTPRO=0 disables): the first kernel
-    # step is identical for every lane (row 0), so it runs as fused XLA on
-    # the broadcast root row instead of a full-width kernel dispatch —
-    # one fewer scan step AND one fewer gathered row per ray, per
-    # dispatch. Two-level mode (per-lane BLAS roots) keeps the kernel
-    # path: the root row differs per lane there.
-    use_rootpro = root0 is None and os.environ.get("VKRT_ROOTPRO", "1") != "0"
+    # Root-descent prologue (VKRT_ROOTPRO=1 enables, DEFAULT OFF): the
+    # first kernel step is identical for every lane (row 0), so it can run
+    # as XLA on the broadcast root row instead of a full-width kernel
+    # dispatch. MEASURED A 2.8x REGRESSION on the atrium (3111 vs 1092
+    # ms/frame, round-5 A/B): lax.sort on (R, W) plus the (R, W) slab/
+    # stack materializations cost ~125 ms/dispatch in XLA against the
+    # ~5 ms VMEM-resident kernel step they replace — the same
+    # materialization tax that sank the fused shading stage. Kept behind
+    # the flag (with its parity tests) as the documented negative result;
+    # see docs/PERFORMANCE.md round 5.
     cur_base, meta_base = cur0, meta0
 
     def restart_state(k_rows):
