@@ -69,6 +69,7 @@ def main():
         kern = TF._make_step_kernel(
             True, False, stack_depth, W, candidates=False,
             n_rows=int(rows.shape[0]), _ablate=ablate,
+            pre_transposed=TF.xla_transpose_rows(),
         )
         if not alias:
             os.environ["VKRT_NOALIAS"] = "1"
@@ -104,12 +105,17 @@ def main():
                 return pl.BlockSpec((nr, TF.BLK), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)
 
+            if TF.xla_transpose_rows():
+                row = row.T
+                row_spec = cmaj(W * 8)
+            else:
+                row_spec = pl.BlockSpec((TF.BLK, W * 8), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kern,
                 grid=(P // TF.BLK,),
                 in_specs=[
-                    pl.BlockSpec((TF.BLK, W * 8), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM),
+                    row_spec,
                     cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
                     cmaj(stack_depth),
                 ],

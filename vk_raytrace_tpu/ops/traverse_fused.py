@@ -246,8 +246,14 @@ def _bitonic(key, ref, sub, width):
 def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
                       stack_depth: int, width: int = 8,
                       candidates: bool = False, n_rows: int = 1,
+                      pre_transposed: bool = False,
                       _ablate: tuple = ()):
-    """``_ablate`` is for scripts/stepbench.py TIMING ATTRIBUTION ONLY —
+    """``pre_transposed``: the row block arrives attr-major (lanes, B) —
+    the transpose happened in XLA, where it is a memory-speed tiled copy.
+    The round-5 kernel ablation showed the in-kernel (B, 128) -> (128, B)
+    Mosaic transpose dominating the step (~4 of 5.1 ms at 524k lanes).
+
+    ``_ablate`` is for scripts/stepbench.py TIMING ATTRIBUTION ONLY —
     each entry replaces one kernel stage with same-shape garbage of ~zero
     cost ('notrans', 'nosort', 'noslab', 'nomt'); traversal results are
     wrong with any of them set."""
@@ -258,7 +264,9 @@ def _make_step_kernel(cull_backface: bool, any_hit_mode: bool,
     def kern(row_ref, o_ref, d_ref, cur_ref, rowid_ref, meta_ref,
              stack_ref, ncur_ref, nrowid_ref, nmeta_ref, nstack_ref):
         del rowid_ref  # consumed by the XLA row gather, carried through here
-        if "notrans" in _ablate:
+        if pre_transposed:
+            rowT = row_ref[:]                   # already (lanes, B)
+        elif "notrans" in _ablate:
             # Keep the data dependency on the streamed row block but
             # replace the full (B, 128) transpose with a one-sublane
             # transpose + lane broadcast (~free).
@@ -595,20 +603,40 @@ def _interpret_mode() -> bool:
         return True
 
 
+def xla_transpose_rows() -> bool:
+    """Row-block orientation policy (VKRT_XLAT=1, DEFAULT OFF): transpose
+    the gathered (R, 128) block to attr-major in XLA instead of inside the
+    Mosaic kernel. MEASURED WORSE: 6.18 vs 4.91 ms/step — the XLA
+    transpose materializes an extra 268 MB/step, and the same-session
+    `nogather` control (4.87 ms on pre-transposed blocks) shows the
+    kernel is VPU-op-bound with or without its in-kernel transpose (the
+    earlier `notrans` 0.01 ms reading was a Mosaic DCE artifact, not a
+    real cost). Kept for attribution."""
+    return os.environ.get("VKRT_XLAT") == "1"
+
+
 def _step(rows, kern, stack_rows, width, n_meta, o4, d4,
           cur, rowid, meta, stack):
     r = cur.shape[1]
     lanes = width * 8
     row = rows[rowid[0]]                        # THE gather (XLA hardware path)
+    pre_t = xla_transpose_rows()
+    if pre_t:
+        row = row.T                             # attr-major in XLA
 
     def cmaj(nr):
         return pl.BlockSpec((nr, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
 
+    row_spec = (
+        cmaj(lanes)
+        if pre_t
+        else pl.BlockSpec((BLK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
     return pl.pallas_call(
         kern,
         grid=(r // BLK,),
         in_specs=[
-            pl.BlockSpec((BLK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            row_spec,
             cmaj(4), cmaj(4), cmaj(1), cmaj(1), cmaj(n_meta),
             cmaj(stack_rows),
         ],
@@ -737,6 +765,7 @@ def _traverse_fused(
     # materialization tax that sank the fused shading stage. Kept behind
     # the flag (with its parity tests) as the documented negative result;
     # see docs/PERFORMANCE.md round 5.
+    use_rootpro = root0 is None and os.environ.get("VKRT_ROOTPRO") == "1"
     cur_base, meta_base = cur0, meta0
 
     def restart_state(k_rows):
@@ -752,7 +781,7 @@ def _traverse_fused(
 
     kern = _make_step_kernel(
         cull_backface, any_hit_mode, k_stack, W, candidates=return_uvt,
-        n_rows=int(rows.shape[0]),
+        n_rows=int(rows.shape[0]), pre_transposed=xla_transpose_rows(),
     )
     step = functools.partial(_step, rows, kern, k_stack, W, n_meta)
 
@@ -848,6 +877,7 @@ def _traverse_fused(
         kern_full = _make_step_kernel(
             cull_backface, any_hit_mode, stack_depth, W,
             candidates=return_uvt, n_rows=int(rows.shape[0]),
+            pre_transposed=xla_transpose_rows(),
         )
         step_full = functools.partial(
             _step, rows, kern_full, stack_depth, W, n_meta

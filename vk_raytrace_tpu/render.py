@@ -250,7 +250,7 @@ _TRACE_ENVS = (
     "VKRT_FUSED", "VKRT_FUSED_SHADE", "VKRT_FUSED_ALPHA", "VKRT_TIERS",
     "VKRT_ABLATE", "VKRT_MIP_SAMPLE", "VKRT_MIP_BIAS", "VKRT_MERGED_MAT",
     "VKRT_UNROLL", "VKRT_NOALIAS", "VKRT_BLK", "VKRT_PHASE_DIVS",
-    "VKRT_ANALYTIC_SUN", "VKRT_MORTON", "VKRT_ROOTPRO",
+    "VKRT_ANALYTIC_SUN", "VKRT_MORTON", "VKRT_ROOTPRO", "VKRT_XLAT",
 )
 
 
