@@ -1,19 +1,26 @@
 """Per-step cost decomposition of the fused traversal kernel.
 
 Times a lax.scan of 8 raw kernel steps at full pool width under controlled
-variants, so the per-step wall cost can be attributed to its three HBM
-components (row gather, stack read/write, staging copies):
+variants, attributing the per-step wall cost to HBM components, loop/carry
+plumbing, and (round 5) the kernel's internal stages:
 
   base      the production step (gather + kernel, aliased carry)
-  stack8    stack_depth forced to 8 (INCORRECT traversal — timing only):
-            isolates the (D, R) stack read+write cost
-  stackfull stack_depth forced to the full builder bound (the pre-short-
-            stack production configuration)
-  nogather  row block sliced instead of gathered (INCORRECT): isolates the
-            row-gather cost
-  noalias   aliasing off: isolates what the in-place aliasing saves
+  stack8 / stackfull   stack rows forced to 8 / the full builder bound
+  nogather  row block sliced instead of gathered (INCORRECT): gather cost
+  noalias   aliasing off: what in-place aliasing saves
+  unroll / while / hbmpin / noloop   loop-structure + carry experiments
+            (round-5 verdicts: the carry chain is NOT the bottleneck —
+            noloop with zero loop-carried state measured SLOWER than the
+            production scan; hbmpin dies in XLA alias coloring)
+  nosort / noslab / nomt / nopush / notrans / kmin   kernel-internal
+            ablations (INCORRECT traversal — timing only). Round-5
+            verdict: no single whale; the step is a sum of VPU passes.
+            Beware Mosaic DCE: notrans once read 0.01 ms — below the
+            physical carry-traffic floor, i.e. the ablation had erased
+            the computation, not the transpose.
 
 Usage: python scripts/stepbench.py [variants...]
+Env: VKRT_BLK / VKRT_STACK / VKRT_XLAT sweep kernel shape knobs.
 """
 
 from __future__ import annotations
