@@ -63,10 +63,25 @@ def main():
         jnp.uint32(0), seeds,
     )
 
-    @jax.jit
-    def trace(o, d):
-        hit = TF.closest_hit_fused(planar, o, d)
-        return hit.t.sum(), hit.steps.sum()
+    anyhit = os.environ.get("VKRT_TRAVBENCH_ANYHIT") == "1"
+    if anyhit:
+        # Shadow-ray proxy: camera-origin rays toward the sun (production
+        # shadows start at hit points, but the scheduling trade — any-hit
+        # lanes terminate on first hit — is what this measures).
+        sun = jnp.asarray(r.scene.sun_sky.sun_direction, jnp.float32)
+        sun = sun / jnp.maximum(jnp.linalg.norm(sun), 1e-9)
+        d_sh = jnp.broadcast_to(sun, o.shape)
+        t_max = jnp.full((P,), 1e30, jnp.float32)
+
+        @jax.jit
+        def trace(o, d):
+            occ = TF.any_hit_fused(planar, o, d_sh, t_max)
+            return occ.sum(), occ.sum()
+    else:
+        @jax.jit
+        def trace(o, d):
+            hit = TF.closest_hit_fused(planar, o, d)
+            return hit.t.sum(), hit.steps.sum()
 
     t, s = trace(o, d)
     jax.block_until_ready(t)
@@ -75,9 +90,12 @@ def main():
         t, s = trace(o, d)
         jax.block_until_ready(t)
     dt = (time.perf_counter() - t0) / n_iters
+    name = "any_hit_fused" if anyhit else "closest_hit_fused"
+    tail = (f"occ_frac={float(s)/P:.2f}" if anyhit
+            else f"mean_steps={float(s)/P:.2f}")
     print(
-        f"closest_hit_fused({P} rays): {dt*1e3:.1f} ms  "
-        f"({P/dt/1e6:.1f} Mrays/s)  mean_steps={float(s)/P:.2f}",
+        f"{name}({P} rays): {dt*1e3:.1f} ms  "
+        f"({P/dt/1e6:.1f} Mrays/s)  {tail}",
         flush=True,
     )
 

@@ -79,18 +79,27 @@ def _env_int(name: str, default: int, minimum: int = 1) -> int:
 BLK = _env_int("VKRT_BLK", 4096)
 if BLK % 128 or BLK & (BLK - 1):
     raise ValueError(f"VKRT_BLK must be a power of two multiple of 128, got {BLK}")
-# Phase schedule: compact survivors to r/div at each boundary. Tunables so
-# the bench harness can sweep them; defaults chosen on the atrium.
-# Sweepable via VKRT_PHASE_DIVS="2,8,64".
-_raw_divs = os.environ.get("VKRT_PHASE_DIVS", "4,16,64")
-try:
-    PHASE_DIVS = tuple(int(x) for x in _raw_divs.split(",") if x.strip())
-except ValueError:
-    raise ValueError(
-        f"VKRT_PHASE_DIVS must be a comma-separated int list, got {_raw_divs!r}"
-    ) from None
-if not PHASE_DIVS or any(d < 1 for d in PHASE_DIVS):
-    raise ValueError(f"VKRT_PHASE_DIVS must be positive ints, got {_raw_divs!r}")
+# Phase schedule: compact survivors to r/div at each boundary. Read at
+# TRACE time (so in-process A/B sweeps through VKRT_PHASE_DIVS genuinely
+# retrace — it rides render.py's traced-env jit key); it was an
+# import-time constant before, which made ab_frame sweeps of it silently
+# vacuous. Default "8,64" from the round-5 travbench sweep: two LAZY
+# tiers beat the round-3 "4,16,64" by 4.4% (62.3 vs 65.2 ms closest-hit
+# at 524k) — compaction gathers cost more than the tail occupancy they
+# recover when applied early.
+
+
+def phase_divs() -> tuple:
+    raw = os.environ.get("VKRT_PHASE_DIVS", "8,64")
+    try:
+        divs = tuple(int(x) for x in raw.split(",") if x.strip())
+    except ValueError:
+        raise ValueError(
+            f"VKRT_PHASE_DIVS must be a comma-separated int list, got {raw!r}"
+        ) from None
+    if not divs or any(d < 1 for d in divs):
+        raise ValueError(f"VKRT_PHASE_DIVS must be positive ints, got {raw!r}")
+    return divs
 # Chunk 4 beats 8 on the atrium (83 vs 98-130 ms closest-hit at 524k rays):
 # phases end nearer the live-fraction thresholds instead of overshooting by
 # up to 7 full-batch steps; the extra cond reductions are cheap on (1, R).
@@ -854,7 +863,7 @@ def _traverse_fused(
         oc, dc = o4, d4
         merges = []
         cur_state = state
-        for div in PHASE_DIVS:
+        for div in phase_divs():
             size = max(1 << 12, (r // div + BLK - 1) // BLK * BLK)
             cur_state = run_phase(cur_state, oc, dc, size)
             sub, oc, dc, idx = compact(cur_state, oc, dc, size)
