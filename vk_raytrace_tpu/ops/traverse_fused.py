@@ -658,13 +658,16 @@ def _step(rows, kern, stack_rows, width, n_meta, o4, d4,
         ],
         # In-place state update: cur/rowid/meta/stack alias their outputs
         # (grid blocks are disjoint and each block writes only what it
-        # read), so the while-loop carry needs no fresh allocations or
-        # staging copies. The row index for the NEXT gather is emitted by
-        # the kernel itself so ``cur`` has a single consumer — computing it
-        # in XLA from ``cur`` forced a defensive copy of the aliased carry
-        # every step (round-4 trace: ~2.4 ms/step of copy-start at 524k
-        # lanes vs 1.2 ms of kernel). VKRT_NOALIAS=1 disables aliasing for
-        # attribution experiments.
+        # read), so the while-loop carry needs no fresh allocations. The
+        # row index for the NEXT gather is emitted by the kernel itself so
+        # ``cur`` has a single consumer — computing it in XLA from ``cur``
+        # forced a defensive copy of the aliased carry every step.
+        # Round-5 correction to the round-4 reading: the remaining trace
+        # copy-starts are ASYNC and overlap the kernel (a carry-free
+        # `noloop` variant measured SLOWER than the scan); the step is
+        # VPU-op-bound in the kernel itself (~4.2 of 4.9 ms at 524k
+        # lanes), not copy-bound. VKRT_NOALIAS=1 disables aliasing for
+        # attribution experiments (measured: aliasing saves ~4%).
         input_output_aliases=(
             {}
             if os.environ.get("VKRT_NOALIAS") == "1"
