@@ -37,6 +37,16 @@ def build(scene_name: str, w: int, h: int, depth: int):
             hdr_multiplier=1.0, pbr_mode=PBR_GLTF, firefly_clamp=10.0,
             use_sun_sky=True,
         )
+    elif scene_name == "bistro":
+        pool, inst, mats, lights, cam, atlas = procedural.bistro_scene()
+        scene = R.build_instanced_scene(
+            pool, inst, mats, lights, cam, atlas=atlas
+        )
+        cfg = RenderConfig(
+            width=w, height=h, max_depth=depth, max_samples=1,
+            hdr_multiplier=1.0, pbr_mode=PBR_GLTF, firefly_clamp=10.0,
+            use_sun_sky=True,
+        )
     elif scene_name == "cornell":
         geom, mats, lights, cam = procedural.cornell_box()
         scene = R.build_scene(geom, mats, lights, cam)

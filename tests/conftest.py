@@ -65,6 +65,25 @@ _SLOW_PREFIXES = (
     "tests/test_wavefront.py::test_pooled_matches_unrolled[1",       # 54s
     "tests/test_wavefront.py::test_pooled_pixel_slices",             # 46s
     "tests/test_wavefront.py::test_pooled_matches_unrolled_compat_mode",  # 37s
+    "tests/test_wavefront.py::test_pooled_multi_sample",
+    "tests/test_wavefront.py::test_renderer_uses_pool_and_matches_goldens_path",
+    # integrator: keep the estimator core (running-mean equivalence,
+    # determinism, checkpoint/resume, analytic direct light); the render-
+    # flavored probes are full-tier.
+    "tests/test_integrator.py::TestDirectLighting::test_shadowing",
+    "tests/test_integrator.py::TestDebugModes",
+    "tests/test_integrator.py::TestEmissiveUnlit",
+    "tests/test_integrator.py::TestFireflyClamp",
+    # bvh/bvh8: keep builds + one closest/backface parity each.
+    "tests/test_bvh.py::TestTraversalVsBruteForce::test_any_hit_distance_limit",
+    "tests/test_bvh.py::TestTraversalVsBruteForce::test_active_mask",  # 15s
+    "tests/test_bvh8.py::TestWideVsBinary::test_alpha_cutout_blocks_stochastically",
+    # instancing: any_hit_matches_baked (2s) + mask/dedup/scan stay.
+    "tests/test_instancing.py::TestInstancedTraversal::test_closest_matches_baked",  # 21s
+    "tests/test_instancing.py::TestScanCandidate::test_many_instances_scan_auto",
+    "tests/test_instancing.py::test_width32_instanced_matches_width16",
+    # prologue parity guards a default-OFF flagged path: full tier.
+    "tests/test_fused.py::test_root_descent_prologue_parity",
 )
 
 
@@ -75,7 +94,6 @@ _SLOW_PREFIXES = (
 _FAST_EXCEPTIONS = (
     "tests/test_fused.py::test_closest_hit_matches_xla[cornell]",
     "tests/test_fused.py::test_any_hit_matches_xla",
-    "tests/test_fused.py::test_root_descent_prologue_parity",
 )
 
 
@@ -88,11 +106,26 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_jax_memory():
     """Release compiled executables between test modules: the full suite
     holds hundreds of XLA:CPU programs and the compiler segfaults under the
     resulting memory pressure near the end of the run (observed twice at
-    >90%; every module passes in isolation)."""
+    >90%; every module passes in isolation). Clearing is CONDITIONAL on
+    actual pressure — an unconditional clear forced cross-module recompiles
+    of shared programs, a large share of the default tier's wall time on
+    this single-core host."""
     yield
-    jax.clear_caches()
+    if _rss_gb() > 48.0:
+        jax.clear_caches()

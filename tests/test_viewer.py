@@ -157,13 +157,17 @@ def test_viewer_interaction_descaling(tmp_path):
         raise AssertionError(f"timeout; last state={st}")
 
     # full-res frames accumulate first
-    wait_for(lambda st: st.get("frame", 0) >= 2)
-    # a drag: the next rendered frame must be the descaled one and the
-    # full-res accumulation must restart
+    st0 = wait_for(lambda st: st.get("frame", 0) >= 2)
+    desc0 = st0.get("descale_frames", 0)
+    resets0 = st0.get("resets", 0)
+    # a drag: descaled frame(s) must be presented and the full-res
+    # accumulation must restart. Assert on the MONOTONIC counters — the
+    # transient `descaled` flag can slip between polls (8x8 descaled
+    # frames render in ~ms; this flaked under host load).
     with svc._lock:
         svc._controls.append({"cmd": "orbit", "dx": 40.0, "dy": 10.0})
-    st = wait_for(lambda st: st.get("descaled"))
-    assert st["frame"] <= 1  # full-res accum was reset by the drag
+    st = wait_for(lambda st: st.get("descale_frames", 0) > desc0)
+    assert st.get("resets", 0) > resets0  # accumulation restarted
     # and it snaps back to full-res accumulation afterwards
     st = wait_for(lambda st: not st.get("descaled") and st.get("frame", 0) >= 2)
     svc._stop = True

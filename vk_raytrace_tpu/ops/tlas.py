@@ -351,65 +351,74 @@ def _two_level_pass(
     use_scan = (
         n_inst > _DENSE_I_MAX or os.environ.get("VKRT_TLAS_SCAN") == "1"
     )
-    if not use_scan:
-        entry0 = _instance_slab(accel.inst, origin, direction, t_max, inst_mask)
 
-    def _candidate(t_best, last_t, last_id):
-        if use_scan:
-            return _scan_candidate(
-                accel.inst, origin, direction, t_best, last_t, last_id,
-                inst_mask,
-            )
-        entry = jnp.where(entry0 < t_best[:, None], entry0, INF)
-        return _next_candidate(entry, last_t, last_id)
+    def make_loop(origin_l, direction_l, act_l, entry0_l):
+        """Candidate-rounds loop closed over a lane set (full width or a
+        compacted survivor tier — the per-lane math is width-invariant)."""
 
-    def _has_mask(tri, nid):
-        has = act & (nid >= 0)
-        if any_hit_mode:
-            has = has & (tri < 0)  # stop after any accepted hit
-        return has
+        def _candidate(t_best, last_t, last_id):
+            if use_scan:
+                return _scan_candidate(
+                    accel.inst, origin_l, direction_l, t_best, last_t,
+                    last_id, inst_mask,
+                )
+            entry = jnp.where(entry0_l < t_best[:, None], entry0_l, INF)
+            return _next_candidate(entry, last_t, last_id)
 
-    # The candidate for round k is computed at the END of round k-1 (and
-    # once before the loop), so each round runs candidate selection once —
-    # the loop condition just inspects the carried result.
-    def round_body(carry):
-        t_best, tri, u, v, ibest, seed, last_t, last_id, steps, nt, nid = carry
-        has = _has_mask(tri, nid)
-        o_obj, d_obj = _transform_rays(accel.inst, nid, origin, direction)
-        mesh = accel.inst.mesh_id[jnp.maximum(nid, 0)]
-        from . import traverse_fused as tf_
+        def _has_mask(tri, nid):
+            has = act_l & (nid >= 0)
+            if any_hit_mode:
+                has = has & (tri < 0)  # stop after any accepted hit
+            return has
 
-        if use_fused:
-            roots_tbl = (
-                accel.mesh_root_planar
-                if accel.mesh_root_planar is not None
-                else accel.mesh_root
-            )
-            hit = tf_._traverse_fused(
-                accel.blas_planar, o_obj, d_obj, t_best,
-                cull_backface=cull_backface, any_hit_mode=any_hit_mode,
-                active_in=has, root0=roots_tbl[mesh],
-            )
-        else:
-            hit, seed = _traverse_wide(
-                accel.blas, tri_material, o_obj, d_obj, t_best, seed,
-                alpha_ctx, cull_backface=cull_backface,
-                any_hit_mode=any_hit_mode, active_in=has,
-                root0=accel.mesh_root[mesh],
-            )
-        upd = has & (hit.tri >= 0)
-        t_best = jnp.where(upd, hit.t, t_best)
-        tri = jnp.where(upd, hit.tri, tri)
-        u = jnp.where(upd, hit.u, u)
-        v = jnp.where(upd, hit.v, v)
-        ibest = jnp.where(upd, nid, ibest)
-        last_t = jnp.where(has, nt, last_t)
-        last_id = jnp.where(has, nid, last_id)
-        steps = steps + hit.steps + has.astype(jnp.int32)
-        nt2, nid2 = _candidate(t_best, last_t, last_id)
-        return t_best, tri, u, v, ibest, seed, last_t, last_id, steps, nt2, nid2
+        # The candidate for round k is computed at the END of round k-1
+        # (and once before the loop), so each round runs candidate
+        # selection once — the loop condition inspects the carried result.
+        def round_body(carry):
+            t_best, tri, u, v, ibest, seed, last_t, last_id, steps, nt, nid = carry
+            has = _has_mask(tri, nid)
+            o_obj, d_obj = _transform_rays(accel.inst, nid, origin_l, direction_l)
+            mesh = accel.inst.mesh_id[jnp.maximum(nid, 0)]
+            from . import traverse_fused as tf_
 
-    nt0, nid0 = _candidate(
+            if use_fused:
+                roots_tbl = (
+                    accel.mesh_root_planar
+                    if accel.mesh_root_planar is not None
+                    else accel.mesh_root
+                )
+                hit = tf_._traverse_fused(
+                    accel.blas_planar, o_obj, d_obj, t_best,
+                    cull_backface=cull_backface, any_hit_mode=any_hit_mode,
+                    active_in=has, root0=roots_tbl[mesh],
+                )
+            else:
+                hit, seed = _traverse_wide(
+                    accel.blas, tri_material, o_obj, d_obj, t_best, seed,
+                    alpha_ctx, cull_backface=cull_backface,
+                    any_hit_mode=any_hit_mode, active_in=has,
+                    root0=accel.mesh_root[mesh],
+                )
+            upd = has & (hit.tri >= 0)
+            t_best = jnp.where(upd, hit.t, t_best)
+            tri = jnp.where(upd, hit.tri, tri)
+            u = jnp.where(upd, hit.u, u)
+            v = jnp.where(upd, hit.v, v)
+            ibest = jnp.where(upd, nid, ibest)
+            last_t = jnp.where(has, nt, last_t)
+            last_id = jnp.where(has, nid, last_id)
+            steps = steps + hit.steps + has.astype(jnp.int32)
+            nt2, nid2 = _candidate(t_best, last_t, last_id)
+            return t_best, tri, u, v, ibest, seed, last_t, last_id, steps, nt2, nid2
+
+        return _candidate, _has_mask, round_body
+
+    entry0 = (
+        None if use_scan
+        else _instance_slab(accel.inst, origin, direction, t_max, inst_mask)
+    )
+    cand_f, has_f, body_f = make_loop(origin, direction, act, entry0)
+    nt0, nid0 = cand_f(
         t_max, jnp.full((r,), _NEG), jnp.full((r,), -1, jnp.int32)
     )
     init = (
@@ -425,10 +434,50 @@ def _two_level_pass(
         nt0,
         nid0,
     )
-    out = jax.lax.while_loop(
-        lambda c: jnp.any(_has_mask(c[1], c[10])), round_body, init
+
+    # Tiered rounds (VKRT_TLAS_TIERS=0 disables): instance-overlap counts
+    # are heavy-tailed — most lanes process 1-3 candidates, but one ray
+    # down an instance-lined axis (bistro's tree rows) can cross 10+
+    # AABBs, and every round costs a FULL-WIDTH BLAS traversal while only
+    # the tail lanes still need it (measured 0.141 Mrays/s on bistro,
+    # 27x below the flat path — docs/PERFORMANCE.md round 5). Run rounds
+    # at full width only while the live set is dense, then compact the
+    # survivors to r/8 (one gather per carry, exact per-lane results) and
+    # finish narrow — the tiered-tail pattern of integrator/wavefront.py.
+    tiers_on = (
+        os.environ.get("VKRT_TLAS_TIERS", "1") != "0" and r >= (1 << 14)
     )
-    t_best, tri, u, v, ibest, seed, _, _, steps = out[:9]
+    if not tiers_on:
+        out = jax.lax.while_loop(
+            lambda c: jnp.any(has_f(c[1], c[10])), body_f, init
+        )
+        t_best, tri, u, v, ibest, seed, _, _, steps = out[:9]
+        return t_best, tri, u, v, ibest, seed, steps
+
+    sub = max(4096, r // 8)
+    out = jax.lax.while_loop(
+        lambda c: jnp.sum(has_f(c[1], c[10])) > sub, body_f, init
+    )
+    live = has_f(out[1], out[10])
+    (idx,) = jnp.nonzero(live, size=sub, fill_value=r)
+    safe = jnp.minimum(idx, r - 1)
+    valid = idx < r
+    sub_init = tuple(x[safe] for x in out)
+    entry0_s = None if use_scan else entry0[safe]
+    cand_s, has_s, body_s = make_loop(
+        origin[safe], direction[safe], valid, entry0_s
+    )
+    sub_out = jax.lax.while_loop(
+        lambda c: jnp.any(has_s(c[1], c[10])), body_s, sub_init
+    )
+    sc = lambda full_a, sub_a: full_a.at[idx].set(sub_a, mode="drop")
+    t_best = sc(out[0], sub_out[0])
+    tri = sc(out[1], sub_out[1])
+    u = sc(out[2], sub_out[2])
+    v = sc(out[3], sub_out[3])
+    ibest = sc(out[4], sub_out[4])
+    seed = sc(out[5], sub_out[5])
+    steps = sc(out[8], sub_out[8])
     return t_best, tri, u, v, ibest, seed, steps
 
 

@@ -458,6 +458,12 @@ class ViewerService:
                 np.float32,
             )
 
+        # Monotonic observability counters: transient flags (descaled) can
+        # slip between an observer's polls, so the state also carries total
+        # descaled frames presented and accumulation resets (race-free for
+        # tests and dashboards).
+        n_desc = 0
+        n_resets = 0
         while not self._stop:
             # Apply queued UI controls (camera -> reset accumulation;
             # tonemap -> repost only; path params -> rebuild, reuse accel).
@@ -582,6 +588,7 @@ class ViewerService:
             if dirty_cam:
                 r.scene = r.scene._replace(camera=cam.camera())
                 r.reset()
+                n_resets += 1
                 descale_left = 2 if DS > 1 else 0
 
             # Asset hot-reload (drop/reload analog). The reference loads on
@@ -638,6 +645,7 @@ class ViewerService:
                 img = np.asarray(rs.postprocess())
                 img = img.repeat(DS, axis=0).repeat(DS, axis=1)[:h, :w]
                 descale_left -= 1
+                n_desc += 1
             else:
                 r.step()
                 img = np.asarray(r.postprocess())
@@ -650,6 +658,8 @@ class ViewerService:
                     "frame": r.frame,
                     "busy": self._busy,
                     "descaled": was_descaled,
+                    "descale_frames": n_desc,
+                    "resets": n_resets,
                     "bookmarks": len(self._bookmarks),
                     "stats": _scene_stats(r),
                     "prof": _prof_stats(r, t_frame, cfg),
