@@ -11,6 +11,11 @@ inside one process produces genuinely different executables.
 Examples:
   python scripts/ab_frame.py "mips:" "nomips:VKRT_MIP_SAMPLE=0"
   python scripts/ab_frame.py "xla:" "fused:VKRT_FUSED_SHADE=1"
+
+VKRT_AB_SCENE=bistro selects the instanced bistro scene (579k tris,
+two-level TLAS/BLAS) instead of the flat atrium. Frame-level A/Bs on the
+tunnel carry an order-correlated drift (docs/PERFORMANCE.md round 5):
+run ONE variant per process for load-bearing comparisons.
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ _BASE_KEYS = [
     "VKRT_TIERS", "VKRT_ABLATE", "VKRT_MERGED_MAT", "VKRT_UNROLL",
     "VKRT_NOALIAS", "VKRT_PHASE_DIVS", "VKRT_ANALYTIC_SUN", "VKRT_MORTON",
     "VKRT_POOL", "VKRT_DISPATCH", "VKRT_STACK", "VKRT_ROOTPRO",
+    "VKRT_TLAS_TIERS",
 ]
 
 
@@ -46,8 +52,12 @@ def main():
     if os.environ.get("VKRT_AB_SIZE"):
         w, h = (int(x) for x in os.environ["VKRT_AB_SIZE"].split("x"))
     devutil.warm_transfers_async()
-    geom, mats, lights, cam, atlas = procedural.atrium_scene()
-    scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
+    if os.environ.get("VKRT_AB_SCENE", "atrium") == "bistro":
+        pool, inst, mats, lights, cam, atlas = procedural.bistro_scene()
+        scene = R.build_instanced_scene(pool, inst, mats, lights, cam, atlas=atlas)
+    else:
+        geom, mats, lights, cam, atlas = procedural.atrium_scene()
+        scene = R.build_scene(geom, mats, lights, cam, atlas=atlas)
     cfg = RenderConfig(
         width=w, height=h, max_depth=4, max_samples=1, hdr_multiplier=1.0,
         pbr_mode=PBR_GLTF, firefly_clamp=10.0, use_sun_sky=True,

@@ -355,3 +355,167 @@ def test_width32_instanced_matches_width16(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(hit16.t), np.asarray(hit32.t), rtol=1e-6
     )
+
+
+class TestBlasLevelAlphaSplit:
+    """BLAS-level opaque/alpha subset split (ops/tlas.py
+    ``_two_level_alpha_pass``): every instance's opaque triangle subset
+    rides the fused kernel, and the alpha subsets run fused candidate
+    rounds with the stochastic test — replacing the XLA body that used to
+    carry whole alpha-flagged meshes. Deterministic gates use BLEND
+    materials at alpha factor 1.0 (every candidate accepts) and 0.0
+    (every candidate rejects); the reference's encounter-order any-hit
+    testing (pathtrace.rahit:53-114) is distribution-identical."""
+
+    def _panels(self, alpha, mixed=False):
+        from vk_raytrace_tpu.models.schema import ALPHA_BLEND
+
+        quad_i = np.asarray([[0, 1, 2], [0, 2, 3]])
+        ib = InstancedSceneBuilder()
+        bs_v = np.asarray(
+            [[-10, -10, 0], [10, -10, 0], [10, 10, 0], [-10, 10, 0]], float
+        )
+        m_bs = ib.add_mesh(bs_v, quad_i, 0)
+        p_v = np.asarray(
+            [[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], float
+        )
+        m_p = ib.add_mesh(p_v, quad_i, 1, alpha_mode=ALPHA_BLEND)
+        eye = np.eye(4)
+        ib.add_instance(m_bs, eye)
+        for z in (2.0, 4.0, 6.0):
+            m = np.eye(4)
+            m[2, 3] = z
+            ib.add_instance(m_p, m)
+        pool, inst = ib.build()
+        if mixed:
+            # Hand-flag only the panel mesh's FIRST triangle as alpha: a
+            # mixed mesh (the tree-trunk-plus-canopy case) whose opaque
+            # triangle must ride the opaque-subset pass.
+            flags = np.asarray(pool.geometry.tri_flags).copy()
+            lo = int(pool.tri_start[m_p])
+            flags[lo + 1] &= ~2
+            pool = pool._replace(
+                geometry=pool.geometry._replace(tri_flags=flags)
+            )
+        mats = make_materials([
+            dict(base_color_factor=[0.5, 0.5, 0.5, 1.0]),
+            dict(base_color_factor=[1.0, 1.0, 1.0, alpha],
+                 alpha_mode=ALPHA_BLEND),
+        ])
+        return pool, inst, mats
+
+    def _ctx(self, mats):
+        import jax
+        from vk_raytrace_tpu.models.schema import dummy_atlas
+        from vk_raytrace_tpu.ops.traverse import AlphaCtx
+
+        return jax.tree.map(
+            jnp.asarray, AlphaCtx(materials=mats, atlas=dummy_atlas())
+        )
+
+    def _rays(self, n=64):
+        g = np.random.default_rng(7)
+        o = np.stack([
+            g.uniform(-1.5, 1.5, n), g.uniform(-1.5, 1.5, n), np.full(n, 10.0)
+        ], -1).astype(np.float32)
+        d = np.tile(np.asarray([[0, 0, -1.0]], np.float32), (n, 1))
+        return jnp.asarray(o), jnp.asarray(d)
+
+    def _hit(self, alpha, split, mixed=False, monkeypatch=None):
+        monkeypatch.setenv("VKRT_TLAS_SPLIT", "1" if split else "0")
+        pool, inst, mats = self._panels(alpha, mixed=mixed)
+        accel = build_instanced_accel(pool, inst)
+        if split and accel.blas_planar_alp is None:
+            pytest.skip("native planar builder unavailable")
+        o, d = self._rays()
+        seed = jnp.arange(o.shape[0], dtype=jnp.uint32)
+        hit, _ = closest_hit_instanced(
+            accel, pool.geometry.tri_material, o, d,
+            seed=seed, alpha_ctx=self._ctx(mats),
+        )
+        return pool, accel, hit
+
+    def test_opaque_alpha1_exact(self, monkeypatch):
+        """alpha=1.0: every panel accepts -> nearest panel (t=4) exactly,
+        identical to the instance-level split path."""
+        _, _, hs = self._hit(1.0, split=True, monkeypatch=monkeypatch)
+        _, _, hl = self._hit(1.0, split=False, monkeypatch=monkeypatch)
+        np.testing.assert_allclose(np.asarray(hs.t), 4.0, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hs.tri), np.asarray(hl.tri))
+        np.testing.assert_allclose(
+            np.asarray(hs.t), np.asarray(hl.t), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hs.inst), np.asarray(hl.inst)
+        )
+
+    def test_transparent_alpha0_exact(self, monkeypatch):
+        """alpha=0.0: every panel rejects -> backstop (t=10) exactly."""
+        pool, _, hs = self._hit(0.0, split=True, monkeypatch=monkeypatch)
+        _, _, hl = self._hit(0.0, split=False, monkeypatch=monkeypatch)
+        np.testing.assert_allclose(np.asarray(hs.t), 10.0, rtol=1e-5)
+        tm = np.asarray(pool.geometry.tri_material)
+        assert (tm[np.asarray(hs.tri)] == 0).all()
+        np.testing.assert_array_equal(np.asarray(hs.tri), np.asarray(hl.tri))
+
+    def test_mixed_mesh_opaque_subset(self, monkeypatch):
+        """A mesh mixing opaque and alpha triangles: with alpha=0.0 the
+        opaque triangle still blocks, the alpha one passes through."""
+        pool, accel, hs = self._hit(
+            0.0, split=True, mixed=True, monkeypatch=monkeypatch
+        )
+        assert bool(np.asarray(accel.inst_opaque)[1])   # mixed panel
+        assert bool(np.asarray(accel.inst_alpha)[1])
+        assert int(np.asarray(accel.mesh_root_alp)[0]) == -1  # backstop
+        _, _, hl = self._hit(
+            0.0, split=False, mixed=True, monkeypatch=monkeypatch
+        )
+        t = np.asarray(hs.t)
+        assert set(np.round(t, 3)).issubset({4.0, 10.0})
+        assert (t == 4.0).any() and (t == 10.0).any()
+        np.testing.assert_array_equal(np.asarray(hs.tri), np.asarray(hl.tri))
+        np.testing.assert_allclose(t, np.asarray(hl.t), rtol=1e-6)
+
+    def test_any_hit_windows(self, monkeypatch):
+        """Occlusion: alpha=1 panels occlude, alpha=0 panels never do
+        (window short of the backstop)."""
+        for alpha, want in ((1.0, True), (0.0, False)):
+            monkeypatch.setenv("VKRT_TLAS_SPLIT", "1")
+            pool, inst, mats = self._panels(alpha)
+            accel = build_instanced_accel(pool, inst)
+            if accel.blas_planar_alp is None:
+                pytest.skip("native planar builder unavailable")
+            o, d = self._rays(n=32)
+            seed = jnp.arange(o.shape[0], dtype=jnp.uint32)
+            occ, _ = any_hit_instanced(
+                accel, pool.geometry.tri_material, o, d,
+                t_max=jnp.full((32,), 9.0),
+                seed=seed, alpha_ctx=self._ctx(mats),
+            )
+            assert bool(np.asarray(occ).all()) == want
+            assert bool(np.asarray(occ).any()) == want
+
+    def test_stochastic_distribution(self, monkeypatch):
+        """alpha=0.5 through three panels: closest-hit lands t=4 w.p. 1/2,
+        6 w.p. 1/4, 8 w.p. 1/8, backstop 1/8 — check the split path's
+        empirical mean against the exact expectation."""
+        monkeypatch.setenv("VKRT_TLAS_SPLIT", "1")
+        pool, inst, mats = self._panels(0.5)
+        accel = build_instanced_accel(pool, inst)
+        if accel.blas_planar_alp is None:
+            pytest.skip("native planar builder unavailable")
+        n = 4096
+        g = np.random.default_rng(3)
+        o = np.stack([
+            g.uniform(-1.5, 1.5, n), g.uniform(-1.5, 1.5, n),
+            np.full(n, 10.0),
+        ], -1).astype(np.float32)
+        d = np.tile(np.asarray([[0, 0, -1.0]], np.float32), (n, 1))
+        seed = rng.tea(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(11))
+        hit, _ = closest_hit_instanced(
+            accel, pool.geometry.tri_material, jnp.asarray(o),
+            jnp.asarray(d), seed=seed, alpha_ctx=self._ctx(mats),
+        )
+        t = np.asarray(hit.t)
+        expect = 0.5 * 4 + 0.25 * 6 + 0.125 * 8 + 0.125 * 10
+        assert abs(t.mean() - expect) < 0.12, t.mean()

@@ -61,6 +61,27 @@ class InstancedAccel(NamedTuple):
     # the opaque result (the two-level analog of the opaque/alpha tree
     # split of ops/bvh8.py::split_scene).
     inst_alpha: jax.Array | None = None
+    # Per-mesh opaque-only / alpha-only planar tables (the BLAS-level
+    # analog of bvh8.split_scene): with these present the alpha-ctx
+    # traversal runs the fused kernel over the OPAQUE SUBSET of every
+    # instance (tree trunks no longer ride the slow XLA body with the
+    # canopies) and a fused candidate-rounds alpha pass over only the
+    # alpha subsets (``_two_level_alpha_pass``). Meshes with no triangle
+    # in a subset carry root -1 in the corresponding root table.
+    blas_planar_opq: object | None = None
+    mesh_root_opq: jax.Array | None = None
+    blas_planar_alp: object | None = None
+    mesh_root_alp: jax.Array | None = None
+    # (I,) bool: instance's mesh contains >=1 opaque triangle.
+    inst_opaque: jax.Array | None = None
+    # (I, 3) world AABBs of each instance's opaque / alpha triangle
+    # subset (tighter than the full-mesh ``inst.aabb_*`` — a bistro
+    # tree's canopy box excludes the trunk): candidate rounds over a
+    # subset table use the matching subset boxes.
+    inst_aabb_opq_min: jax.Array | None = None
+    inst_aabb_opq_max: jax.Array | None = None
+    inst_aabb_alp_min: jax.Array | None = None
+    inst_aabb_alp_max: jax.Array | None = None
 
 
 def _classify_interior(rows: np.ndarray) -> np.ndarray:
@@ -163,47 +184,93 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
     # Interior refs are row ids (+pbase); leaf refs encode
     # -(leaf_row*8 + cnt) (native.cpp build_bvh16), so they shift by 8*pbase.
     pw = planar_width()
-    ptables, proots = [], []
-    pbase, pdepth = 0, 1
-    for m in range(n_mesh):
-        lo = int(pool.tri_start[m])
-        cnt = int(pool.tri_count[m])
-        sl = slice(lo, lo + cnt)
-        ids = np.arange(lo, lo + cnt, dtype=np.int32)
-        out = runtime.build_planar_rows(
-            pos, idx[sl], uvs, flg[sl], tri_ids=ids, width=pw
-        )
-        if out is None:
-            ptables = None
-            break
-        prow, pd = out
-        prow = np.asarray(prow)
-        pdepth = max(pdepth, pd)
-        if pbase:
-            p_int = _classify_interior_planar(prow, pw)
-            valid = prow[:, 0:pw] <= prow[:, 3 * pw : 4 * pw]
-            refs = prow[:, 6 * pw : 7 * pw]
-            # Leaf refs encode -(row*kLeafMax + cnt-1 + 1) with
-            # kLeafMax = width/2 (native.cpp make_leaf), so shifting the
-            # leaf row by pbase shifts the ref by pbase*(width/2).
-            fixed = np.where(refs >= 0, refs + pbase, refs - (pw // 2) * pbase)
-            prow[:, 6 * pw : 7 * pw] = np.where(
-                p_int[:, None] & valid, fixed, refs
+
+    def planar_concat(sel):
+        """Concatenated per-mesh native planar tables over the triangles
+        selected by the pool-global mask ``sel`` (None = all). Meshes with
+        no selected triangle get root -1. Returns (None, None) when the
+        native builder is unavailable.
+
+        Leaf refs encode -(row*kLeafMax + cnt-1 + 1) with kLeafMax =
+        width/2 (native.cpp make_leaf), so shifting the leaf row by the
+        concat base shifts the ref by base*(width/2)."""
+        ptables, proots = [], []
+        pbase, pdepth = 0, 1
+        for m in range(n_mesh):
+            lo = int(pool.tri_start[m])
+            cnt = int(pool.tri_count[m])
+            ids = np.arange(lo, lo + cnt, dtype=np.int32)
+            if sel is not None:
+                ids = ids[sel[lo : lo + cnt]]
+            if ids.size == 0:
+                proots.append(-1)
+                continue
+            out = runtime.build_planar_rows(
+                pos, idx[ids], uvs, flg[ids], tri_ids=ids, width=pw
             )
-        proots.append(pbase)
-        pbase += len(prow)
-        ptables.append(prow)
-    if ptables is not None:
+            if out is None:
+                return None, None
+            prow, pd = out
+            prow = np.asarray(prow)
+            pdepth = max(pdepth, pd)
+            if pbase:
+                p_int = _classify_interior_planar(prow, pw)
+                valid = prow[:, 0:pw] <= prow[:, 3 * pw : 4 * pw]
+                refs = prow[:, 6 * pw : 7 * pw]
+                fixed = np.where(
+                    refs >= 0, refs + pbase, refs - (pw // 2) * pbase
+                )
+                prow[:, 6 * pw : 7 * pw] = np.where(
+                    p_int[:, None] & valid, fixed, refs
+                )
+            proots.append(pbase)
+            pbase += len(prow)
+            ptables.append(prow)
         runtime._check_ref_ceiling(pbase, pw // 2)
-        planar = PlanarScene(
+        scene = PlanarScene(
             rows=np.concatenate(ptables, axis=0),
             stack_depth=pdepth,
             width=pw,
         )
-        planar_roots = np.asarray(proots, np.int32)
-    else:  # no native builder: planarized copy of the 8-wide table
+        return scene, np.asarray(proots, np.int32)
+
+    planar, planar_roots = planar_concat(None)
+    if planar is None:  # no native builder: planarized copy of the 8-wide table
         planar = planarize(blas, roots=roots)
         planar_roots = np.asarray(roots, np.int32)
+
+    # Opaque/alpha SUBSET tables (the BLAS-level split_scene analog) — only
+    # worth building when the scene mixes the two (native builder required;
+    # without it the traversal keeps the instance-level split).
+    alpha_sel = (flg & 2) != 0
+    split = dict(
+        blas_planar_opq=None, mesh_root_opq=None,
+        blas_planar_alp=None, mesh_root_alp=None, inst_opaque=None,
+        inst_aabb_opq_min=None, inst_aabb_opq_max=None,
+        inst_aabb_alp_min=None, inst_aabb_alp_max=None,
+    )
+    if bool(alpha_sel.any()) and bool((~alpha_sel).any()):
+        opq_planar, opq_roots = planar_concat(~alpha_sel)
+        alp_planar, alp_roots = planar_concat(alpha_sel)
+        if opq_planar is not None and alp_planar is not None:
+            mesh_opq = np.zeros(n_mesh, bool)
+            for m in range(n_mesh):
+                lo = int(pool.tri_start[m])
+                cnt = int(pool.tri_count[m])
+                mesh_opq[m] = bool(np.any(~alpha_sel[lo : lo + cnt]))
+            mid = np.asarray(inst.mesh_id)
+            omin_o, omax_o = _subset_obj_aabb(pos, idx, pool, ~alpha_sel)
+            omin_a, omax_a = _subset_obj_aabb(pos, idx, pool, alpha_sel)
+            io_min, io_max = _inst_world_aabb(inst, omin_o, omax_o)
+            ia_min, ia_max = _inst_world_aabb(inst, omin_a, omax_a)
+            split = dict(
+                blas_planar_opq=opq_planar, mesh_root_opq=opq_roots,
+                blas_planar_alp=alp_planar, mesh_root_alp=alp_roots,
+                inst_opaque=mesh_opq[mid],
+                inst_aabb_opq_min=io_min, inst_aabb_opq_max=io_max,
+                inst_aabb_alp_min=ia_min, inst_aabb_alp_max=ia_max,
+            )
+
     return InstancedAccel(
         blas=blas,
         mesh_root=np.asarray(roots, np.int32),
@@ -211,7 +278,45 @@ def build_instanced_accel(pool: MeshPool, inst: InstanceTable) -> InstancedAccel
         blas_planar=planar,
         mesh_root_planar=planar_roots,
         inst_alpha=mesh_alpha[np.asarray(inst.mesh_id)],
+        **split,
     )
+
+
+def _subset_obj_aabb(pos, idx, pool, sel):
+    """Object-space AABB of each mesh's selected triangle subset; meshes
+    whose subset is empty or complete keep the full-mesh bounds (empty ones
+    are masked out of every pass that uses these boxes)."""
+    n_mesh = len(pool.tri_start)
+    mn = np.array(pool.aabb_min, np.float32, copy=True)
+    mx = np.array(pool.aabb_max, np.float32, copy=True)
+    for m in range(n_mesh):
+        lo = int(pool.tri_start[m])
+        cnt = int(pool.tri_count[m])
+        s = sel[lo : lo + cnt]
+        if not s.any() or s.all():
+            continue
+        v = pos[np.asarray(idx[lo : lo + cnt][s]).ravel()]
+        mn[m] = v.min(axis=0)
+        mx[m] = v.max(axis=0)
+    return mn, mx
+
+
+def _inst_world_aabb(inst: InstanceTable, omin: np.ndarray, omax: np.ndarray):
+    """World AABB of each instance for the given per-mesh object-space
+    bounds (8 transformed corners — same construction as the full-mesh
+    ``inst.aabb_*`` of models/instances.py)."""
+    o2w = np.asarray(inst.object_to_world, np.float32)
+    mid = np.asarray(inst.mesh_id)
+    mn, mx = omin[mid], omax[mid]                      # (I, 3)
+    bmin = np.full_like(mn, np.inf)
+    bmax = np.full_like(mn, -np.inf)
+    for k in range(8):
+        pick = np.asarray([(k >> a) & 1 for a in range(3)], bool)
+        c = np.where(pick, mx, mn)
+        w = np.einsum("iab,ib->ia", o2w[:, :, :3], c) + o2w[:, :, 3]
+        bmin = np.minimum(bmin, w)
+        bmax = np.maximum(bmax, w)
+    return bmin.astype(np.float32), bmax.astype(np.float32)
 
 
 def _instance_slab(inst: InstanceTable, origin, direction, t_best, mask=None):
@@ -481,6 +586,198 @@ def _two_level_pass(
     return t_best, tri, u, v, ibest, seed, steps
 
 
+# Bound on state-machine rounds in the fused two-level alpha pass: worst
+# case is (instances overlapped along one ray) + (stochastic rejections,
+# flat-path bound 24) — the loop exits as soon as no lane has a candidate.
+_A_MAX_ROUNDS = 64
+
+
+def _two_level_alpha_pass(
+    accel: InstancedAccel,
+    pack,
+    origin,
+    direction,
+    t_max,
+    seed,
+    act,
+    any_hit_mode: bool,
+    cull_backface: bool,
+):
+    """Fused candidate rounds over the alpha-carrying instances — the
+    two-level analog of ops/traverse_alpha.py, with instance enumeration
+    and stochastic-rejection window advance folded into ONE state machine:
+
+    each live lane holds a current candidate instance (entry-t order, the
+    ``_next_candidate`` enumeration) and a window start ``t_lo`` inside it.
+    A round traverses the instance's alpha-only BLAS (fused kernel,
+    candidate mode) in ``(t_lo, t_best)``; the nearest alpha surface takes
+    one stochastic test (``_alpha_accept``): pass -> record the hit, move
+    to the next instance; reject -> advance ``t_lo`` just past it and stay;
+    miss -> next instance. Testing in strict t-order per instance and
+    entry-order across instances is distribution-identical to the
+    reference's encounter-order any-hit shader (surfaces pass independently
+    with probability ``opacity`` — see traverse_alpha's module docstring).
+
+    The live set (lanes whose ray enters >=1 alpha instance inside the
+    window) is sparse, so the machine runs compact-first at the smallest
+    adequate of three static widths (r/16, r/4, r) — the tier pattern of
+    ``traverse_alpha._alpha_rounds``.
+
+    Returns full-width ``(t, tri, u, v, inst_id, seed, steps)``; ``tri`` is
+    -1 (t = window end) where no alpha surface accepted.
+    """
+    from . import traverse_fused as tf_
+    from .traverse_alpha import _ADV_ABS, _ADV_REL, _alpha_accept
+
+    r = origin.shape[0]
+    n_inst = accel.inst.aabb_min.shape[0]
+    use_scan = (
+        n_inst > _DENSE_I_MAX or os.environ.get("VKRT_TLAS_SCAN") == "1"
+    )
+    inst_view = accel.inst._replace(
+        aabb_min=accel.inst_aabb_alp_min, aabb_max=accel.inst_aabb_alp_max
+    )
+    roots = jnp.maximum(accel.mesh_root_alp, 0)
+    mask = accel.inst_alpha
+
+    def machine(origin_l, direction_l, t_lim_l, seed_l, act_l, entry0_l):
+        rl = origin_l.shape[0]
+
+        def _candidate(t_best, last_t, last_id):
+            if use_scan:
+                return _scan_candidate(
+                    inst_view, origin_l, direction_l, t_best, last_t,
+                    last_id, mask,
+                )
+            entry = jnp.where(entry0_l < t_best[:, None], entry0_l, INF)
+            return _next_candidate(entry, last_t, last_id)
+
+        def has_f(tri, nid):
+            h = act_l & (nid >= 0)
+            if any_hit_mode:
+                h = h & (tri < 0)      # first accepted surface occludes
+            return h
+
+        nt0, nid0 = _candidate(
+            t_lim_l, jnp.full((rl,), _NEG), jnp.full((rl,), -1, jnp.int32)
+        )
+        init = (
+            t_lim_l,                              # 0: t_best (window end)
+            jnp.full((rl,), -1, jnp.int32),       # 1: accepted tri
+            jnp.zeros((rl,), jnp.float32),        # 2: u
+            jnp.zeros((rl,), jnp.float32),        # 3: v
+            jnp.zeros((rl,), jnp.int32),          # 4: accepted instance
+            seed_l,                               # 5
+            jnp.full((rl,), _NEG),                # 6: last_t (enumeration)
+            jnp.full((rl,), -1, jnp.int32),       # 7: last_id
+            jnp.zeros((rl,), jnp.int32),          # 8: steps
+            nt0,                                  # 9: candidate entry t
+            nid0,                                 # 10: candidate instance
+            jnp.zeros((rl,), jnp.float32),        # 11: t_lo within candidate
+            jnp.int32(0),                         # 12: round counter
+        )
+
+        def cond(c):
+            return jnp.any(has_f(c[1], c[10])) & (c[12] < _A_MAX_ROUNDS)
+
+        def body(c):
+            (t_best, tri, u, v, ibest, seed, last_t, last_id, steps,
+             nt, nid, t_lo, rounds) = c
+            has = has_f(tri, nid)
+            o2 = origin_l + direction_l * t_lo[:, None]
+            o_obj, d_obj = _transform_rays(accel.inst, nid, o2, direction_l)
+            mesh = accel.inst.mesh_id[jnp.maximum(nid, 0)]
+            win = jnp.maximum(t_best - t_lo, 0.0)
+            hit, uvu, uvv = tf_._traverse_fused(
+                accel.blas_planar_alp, o_obj, d_obj, win,
+                cull_backface=cull_backface, any_hit_mode=False,
+                active_in=has, root0=roots[mesh], return_uvt=True,
+                phase_compact=False,
+            )
+            cand = has & (hit.tri >= 0)
+            passed, seed = _alpha_accept(pack, hit.tri, uvu, uvv, seed, cand)
+            t_abs = t_lo + hit.t
+            accept = cand & passed
+            t_best = jnp.where(accept, t_abs, t_best)
+            tri = jnp.where(accept, hit.tri, tri)
+            u = jnp.where(accept, hit.u, u)
+            v = jnp.where(accept, hit.v, v)
+            ibest = jnp.where(accept, nid, ibest)
+            reject = cand & ~passed
+            advance = has & ~reject    # accepted or exhausted: next instance
+            last_t = jnp.where(advance, nt, last_t)
+            last_id = jnp.where(advance, nid, last_id)
+            t_lo = jnp.where(
+                reject,
+                t_abs * (1.0 + _ADV_REL) + _ADV_ABS,
+                jnp.where(advance, 0.0, t_lo),
+            )
+            steps = steps + hit.steps + has.astype(jnp.int32)
+            nt2, nid2 = _candidate(t_best, last_t, last_id)
+            nt = jnp.where(advance, nt2, nt)
+            nid = jnp.where(advance, nid2, nid)
+            return (t_best, tri, u, v, ibest, seed, last_t, last_id, steps,
+                    nt, nid, t_lo, rounds + 1)
+
+        out = jax.lax.while_loop(cond, body, init)
+        return out[0], out[1], out[2], out[3], out[4], out[5], out[8]
+
+    if use_scan:
+        entry0 = None
+        nt0, nid0 = _scan_candidate(
+            inst_view, origin, direction, t_max,
+            jnp.full((r,), _NEG), jnp.full((r,), -1, jnp.int32), mask,
+        )
+        need0 = act & (nid0 >= 0)
+    else:
+        entry0 = _instance_slab(inst_view, origin, direction, t_max, mask)
+        need0 = act & jnp.any(entry0 < INF, axis=1)
+
+    def direct(args):
+        origin_, direction_, t_max_, seed_, need_ = args
+        return machine(origin_, direction_, t_max_, seed_, need_, entry0)
+
+    def tier(size):
+        def branch(args):
+            origin_, direction_, t_max_, seed_, need_ = args
+            (idx,) = jnp.nonzero(need_, size=size, fill_value=r)
+            safe = jnp.minimum(idx, r - 1)
+            valid = idx < r
+            e0 = None if entry0 is None else entry0[safe]
+            bt_s, btri_s, bu_s, bv_s, bi_s, seed_s, st_s = machine(
+                origin_[safe], direction_[safe], t_max_[safe], seed_[safe],
+                valid, e0,
+            )
+            sc = lambda init, sub: init.at[idx].set(sub, mode="drop")
+            return (
+                sc(t_max_, bt_s),
+                sc(jnp.full((r,), -1, jnp.int32), btri_s),
+                sc(jnp.zeros((r,)), bu_s),
+                sc(jnp.zeros((r,)), bv_s),
+                sc(jnp.zeros((r,), jnp.int32), bi_s),
+                sc(seed_, seed_s),
+                sc(jnp.zeros((r,), jnp.int32), st_s),
+            )
+
+        return branch
+
+    args = (origin, direction, t_max, seed, need0)
+    tiers = [s for s in (max(4096, r // 16), max(4096, r // 4)) if s < r]
+    tiers = sorted(set(tiers))
+    if not tiers:
+        return direct(args)
+    n_live = jnp.sum(need0.astype(jnp.int32))
+
+    def select(i):
+        if i == len(tiers):
+            return direct
+        return lambda a: jax.lax.cond(
+            n_live <= tiers[i], tier(tiers[i]), select(i + 1), a
+        )
+
+    return select(0)(args)
+
+
 def _two_level(
     accel: InstancedAccel,
     tri_material,
@@ -514,10 +811,75 @@ def _two_level(
         t_out = jnp.where(tri >= 0, t_best, INF)
         return Hit(t=t_out, tri=tri, u=u, v=v, steps=steps, inst=ibest), seed
 
-    # Opaque/alpha instance split (the two-level analog of bvh8.split_scene):
-    # all-opaque instances ride the fused kernel; alpha-carrying instances
-    # run the XLA body with the stochastic test, windowed by the opaque
-    # result so the slow path only covers the remaining interval.
+    # BLAS-level opaque/alpha split (the two-level analog of
+    # bvh8.split_scene, default where the subset tables exist): the opaque
+    # pass runs the fused kernel over the OPAQUE SUBSET of EVERY instance
+    # — an alpha-carrying mesh's opaque triangles (tree trunks, window
+    # frames) no longer drag through the XLA body — and the alpha pass is
+    # fused candidate rounds over only the alpha subsets.
+    # VKRT_TLAS_SPLIT=0 keeps the instance-level split for attribution.
+    from . import traverse_alpha as ta_
+
+    split_ok = (
+        fused_ok
+        and accel.blas_planar_opq is not None
+        and accel.blas_planar_alp is not None
+        and ta_.enabled()
+        and os.environ.get("VKRT_TLAS_SPLIT", "1") != "0"
+    )
+    if split_ok:
+        from .traverse_wide import make_alpha_pack
+
+        opq_view = accel._replace(
+            blas_planar=accel.blas_planar_opq,
+            mesh_root_planar=jnp.maximum(accel.mesh_root_opq, 0),
+            inst=accel.inst._replace(
+                aabb_min=accel.inst_aabb_opq_min,
+                aabb_max=accel.inst_aabb_opq_max,
+            ),
+        )
+        t_o, tri_o, u_o, v_o, i_o, seed, st_o = _two_level_pass(
+            opq_view, tri_material, origin, direction, t_max, seed, None,
+            cull_backface, any_hit_mode, act, accel.inst_opaque, True,
+        )
+        pack = make_alpha_pack(alpha_ctx, tri_material)
+        act_a = act & (tri_o < 0) if any_hit_mode else act
+        t_a, tri_a, u_a, v_a, i_a, seed, st_a = _two_level_alpha_pass(
+            accel, pack, origin, direction, t_o, seed, act_a,
+            any_hit_mode, cull_backface,
+        )
+        if any_hit_mode:
+            tri = jnp.where(tri_o >= 0, tri_o, tri_a)
+            t_best = jnp.where(tri_o >= 0, t_o, t_a)
+            return (
+                Hit(
+                    t=jnp.where(tri >= 0, t_best, INF), tri=tri,
+                    u=jnp.where(tri_o >= 0, u_o, u_a),
+                    v=jnp.where(tri_o >= 0, v_o, v_a),
+                    steps=st_o + st_a,
+                    inst=jnp.where(tri_o >= 0, i_o, i_a),
+                ),
+                seed,
+            )
+        nearer = (tri_a >= 0) & (t_a < t_o)
+        tri = jnp.where(nearer, tri_a, tri_o)
+        t_best = jnp.where(nearer, t_a, t_o)
+        return (
+            Hit(
+                t=jnp.where(tri >= 0, t_best, INF), tri=tri,
+                u=jnp.where(nearer, u_a, u_o),
+                v=jnp.where(nearer, v_a, v_o),
+                steps=st_o + st_a,
+                inst=jnp.where(nearer, i_a, i_o),
+            ),
+            seed,
+        )
+
+    # Instance-level opaque/alpha split (fallback: no native subset tables
+    # or VKRT_TLAS_SPLIT=0): all-opaque instances ride the fused kernel;
+    # alpha-carrying instances run the XLA body with the stochastic test,
+    # windowed by the opaque result so the slow path only covers the
+    # remaining interval.
     t_o, tri_o, u_o, v_o, i_o, seed, st_o = _two_level_pass(
         accel, tri_material, origin, direction, t_max, seed, None,
         cull_backface, any_hit_mode, act, ~accel.inst_alpha, fused_ok,

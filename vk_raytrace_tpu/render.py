@@ -251,7 +251,7 @@ _TRACE_ENVS = (
     "VKRT_ABLATE", "VKRT_MIP_SAMPLE", "VKRT_MIP_BIAS", "VKRT_MERGED_MAT",
     "VKRT_UNROLL", "VKRT_NOALIAS", "VKRT_BLK", "VKRT_PHASE_DIVS",
     "VKRT_ANALYTIC_SUN", "VKRT_MORTON", "VKRT_ROOTPRO", "VKRT_XLAT",
-    "VKRT_TLAS_TIERS", "VKRT_TLAS_SCAN",
+    "VKRT_TLAS_TIERS", "VKRT_TLAS_SCAN", "VKRT_TLAS_SPLIT",
 )
 
 
