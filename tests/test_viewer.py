@@ -68,6 +68,9 @@ def test_control_page_covers_sample_gui_inventory():
                 "horizon", "horizonblur", "sundisk", "sunscale", "sunglow"]:
         assert f'id="{ctl}"' in page, ctl
     assert 'id="stats"' in page and 'id="prof"' in page
+    # live utilization plots (nvml_monitor.hpp ring plots analog)
+    for pl in ["pl_ms", "pl_mrays", "pl_mem"]:
+        assert f'id="{pl}"' in page, pl
 
 
 def test_scene_derived_pivot_and_set_pivot():
@@ -170,5 +173,14 @@ def test_viewer_interaction_descaling(tmp_path):
     assert st.get("resets", 0) > resets0  # accumulation restarted
     # and it snaps back to full-res accumulation afterwards
     st = wait_for(lambda st: not st.get("descaled") and st.get("frame", 0) >= 2)
+    # live utilization history (NVML ring-plot analog,
+    # nvml_monitor.hpp:56-176): per-frame ms + Mrays/s rings feed the
+    # profiler sparklines; they must carry numeric samples and grow.
+    hist = st.get("hist")
+    assert hist and len(hist["ms"]) >= 2 and len(hist["mrays"]) >= 2
+    assert all(isinstance(x, (int, float)) and x >= 0 for x in hist["ms"])
+    n0 = len(hist["ms"])
+    if n0 < 120:  # ring not yet saturated: it must keep growing
+        st = wait_for(lambda st: len(st["hist"]["ms"]) > n0)
     svc._stop = True
     t.join(timeout=60)

@@ -618,10 +618,14 @@ def _two_level_alpha_pass(
     reference's encounter-order any-hit shader (surfaces pass independently
     with probability ``opacity`` — see traverse_alpha's module docstring).
 
-    The live set (lanes whose ray enters >=1 alpha instance inside the
-    window) is sparse, so the machine runs compact-first at the smallest
-    adequate of three static widths (r/16, r/4, r) — the tier pattern of
-    ``traverse_alpha._alpha_rounds``.
+    The live set decays fast (most lanes carry one candidate and retire in
+    1-2 rounds), so the machine runs STAGED WIDTHS — full width only while
+    the live count exceeds r/4, then argsort-compacts the survivors and
+    continues at r/4, then r/16 (the tiered-tail pattern of
+    integrator/wavefront.py; exact per-lane results). A bistro frame trace
+    with a single-width machine showed it at full 262k-lane width for
+    every round — per-round carry copies and the (R, I) candidate argmin
+    were the top device costs of the 16.3 s frame.
 
     Returns full-width ``(t, tri, u, v, inst_id, seed, steps)``; ``tri`` is
     -1 (t = window end) where no alpha surface accepted.

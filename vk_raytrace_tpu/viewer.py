@@ -246,6 +246,8 @@ details{margin-top:8px;border-top:1px solid #333;padding-top:4px}
 summary{color:#ca8;cursor:pointer}
 .v{color:#8ac;display:inline-block;width:44px;text-align:right}
 #stats,#prof{margin-top:8px;white-space:pre;color:#8c8}
+.pl{margin-top:4px;color:#589}
+.pl canvas{display:block;background:#181818;border:1px solid #333}
 #pick{margin-top:8px;white-space:pre;color:#88c}
 </style></head><body>
 <img id="img" width="__W__" height="__H__">
@@ -302,7 +304,12 @@ summary{color:#ca8;cursor:pointer}
   <div id="bmlist"></div>
  </details>
  <details open><summary>statistics</summary><div id="stats"></div></details>
- <details open><summary>profiler</summary><div id="prof"></div></details>
+ <details open><summary>profiler</summary><div id="prof"></div>
+  <div id="plots">
+   <div class="pl">ms/frame <canvas id="pl_ms" width="230" height="36"></canvas></div>
+   <div class="pl">Mrays/s <canvas id="pl_mrays" width="230" height="36"></canvas></div>
+   <div class="pl">dev mem MB <canvas id="pl_mem" width="230" height="36"></canvas></div>
+  </div></details>
  <div id="pick">click image to pick (sets orbit pivot)</div>
 </div>
 <script>
@@ -353,12 +360,29 @@ function renderBookmarks(n){
 }
 for (const id of ['pause','dither','sunsky'])
   document.getElementById(id).onchange = e => post({cmd:'set',key:id,value:e.target.checked?1:0});
+function spark(id, xs){
+  const c = document.getElementById(id), g = c.getContext('2d');
+  g.clearRect(0, 0, c.width, c.height);
+  if (!xs || xs.length < 2) return;
+  const lo = Math.min(...xs), hi = Math.max(...xs), span = (hi - lo) || 1;
+  g.strokeStyle = '#8ac'; g.beginPath();
+  xs.forEach((v, i) => {
+    const x = i * (c.width - 2) / (xs.length - 1) + 1;
+    const y = c.height - 2 - (v - lo) * (c.height - 4) / span;
+    i ? g.lineTo(x, y) : g.moveTo(x, y);
+  });
+  g.stroke();
+  g.fillStyle = '#589'; g.font = '9px monospace';
+  g.fillText(hi.toFixed(1), 2, 9);
+  g.fillText(lo.toFixed(1), 2, c.height - 2);
+}
 async function tick(){
   img.src = '/frame.png?t=' + Date.now();
   const s = await (await fetch('/state')).json();
   document.getElementById('stats').textContent = s.stats || '';
   document.getElementById('prof').textContent = (s.busy ? 'BUSY: loading scene...\n' : '') + (s.prof || '');
   renderBookmarks(s.bookmarks || 0);
+  if (s.hist) { spark('pl_ms', s.hist.ms); spark('pl_mrays', s.hist.mrays); spark('pl_mem', s.hist.mem); }
 }
 setInterval(tick, 700); tick();
 </script></body></html>"""
@@ -464,6 +488,28 @@ class ViewerService:
         # tests and dashboards).
         n_desc = 0
         n_resets = 0
+        # Per-frame history ring for the live utilization plots (the NVML
+        # sampling-thread analog, nvml_monitor.hpp:56-176: a ring of
+        # measurements the GUI plots as curves). Device memory is an RPC
+        # over the tunnel, so it is sampled every 8th frame and held.
+        from collections import deque
+
+        hist_ms: deque = deque(maxlen=120)
+        hist_mrays: deque = deque(maxlen=120)
+        hist_mem: deque = deque(maxlen=120)
+        last_mem = [-1.0]
+
+        def _sample_mem(frame_no: int) -> float:
+            if last_mem[0] < 0 or frame_no % 8 == 0:
+                try:
+                    from .utils.profiler import device_memory_stats
+
+                    m = device_memory_stats()
+                    if m and m[0].get("bytes_in_use", -1) >= 0:
+                        last_mem[0] = m[0]["bytes_in_use"] / 2**20
+                except Exception:
+                    pass
+            return last_mem[0]
         while not self._stop:
             # Apply queued UI controls (camera -> reset accumulation;
             # tonemap -> repost only; path params -> rebuild, reuse accel).
@@ -651,6 +697,13 @@ class ViewerService:
                 img = np.asarray(r.postprocess())
             t_frame = time.time() - t0
             png = _png_bytes(img)
+            hist_ms.append(round(1000 * t_frame, 2))
+            hist_mrays.append(
+                round(getattr(r, "last_rays", 0) / max(t_frame, 1e-9) / 1e6, 3)
+            )
+            mem_mb = _sample_mem(r.frame)
+            if mem_mb >= 0:
+                hist_mem.append(round(mem_mb, 1))
             with self._lock:
                 self._frame_png = png
                 self._renderer = r
@@ -663,6 +716,11 @@ class ViewerService:
                     "bookmarks": len(self._bookmarks),
                     "stats": _scene_stats(r),
                     "prof": _prof_stats(r, t_frame, cfg),
+                    "hist": {
+                        "ms": list(hist_ms),
+                        "mrays": list(hist_mrays),
+                        "mem": list(hist_mem),
+                    },
                 }
 
     # -- HTTP --------------------------------------------------------------
